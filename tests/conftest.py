@@ -9,13 +9,19 @@ real chip instead and do not import this file.
 
 import os
 
-# Must be set before the first jax import anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU before the backend initializes. NB: on this host jax is
+# pre-imported with JAX_PLATFORMS=axon (the TPU tunnel), so the env var
+# alone is not enough — jax.config.update is authoritative.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
