@@ -1,0 +1,86 @@
+"""Headline benchmark: 2-minute WSPR decode windows per second per chip.
+
+Runs the batched multi-channel decode step (device program: STFT ->
+candidate pick -> coarse/fine sync -> jittered soft symbols -> batched
+Fano) on realistic synthetic windows and reports steady-state
+throughput, including the host spot-assembly path.
+
+Baseline: the reference's best published "decode burst" is 0.5 s per
+window on an Intel i7-5820K (README.md:151) = 2.0 windows/s.
+``vs_baseline`` is our windows/s divided by that.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_WINDOWS_PER_S = 2.0  # i7-5820K, 0.5 s/window (reference README.md:151)
+
+
+def make_batch(B: int, seed: int = 11) -> np.ndarray:
+    """B windows with mixed content: most have 2 signals at varied SNR,
+    some are noise-only (a realistic band census)."""
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    calls = ["K1JT FN20 37", "K9AN EN50 33", "G4ABC IO91 30",
+             "VK2XYZ QF56 27"]
+    iq = np.zeros((B, 45000), dtype=np.complex64)
+    for b in range(B):
+        if b % 4 == 3:  # noise-only channel
+            rng = np.random.default_rng(seed + b)
+            z = rng.normal(0, 1.0, (45000, 2)).astype(np.float32)
+            i, q = z[:, 0], z[:, 1]
+        else:
+            msgs = [calls[b % len(calls)], calls[(b + 1) % len(calls)]]
+            i, q = synth_window_at_snr(
+                msgs, snr_db=[3.0 - (b % 3) * 4.0, -8.0],
+                f0=[-60.0 + 13.0 * (b % 9), 45.0 - 11.0 * (b % 7)],
+                t0=[2.0, 1.0], seed=seed + b,
+            )
+        i, q = normalize_minus3db(i, q)
+        iq[b] = i + 1j * q
+    return iq
+
+
+def main() -> None:
+    import jax
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+
+    B = 32
+    iq = make_batch(B)
+    options = DecoderOptions()
+
+    # warmup (compile)
+    spots = decode_channels(iq[:B], options)
+    n_spots = sum(len(s) for s in spots)
+
+    # steady state
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        spots = decode_channels(iq, options)
+    jax.effects_barrier()
+    dt = time.perf_counter() - t0
+
+    windows_per_s = B * iters / dt
+    print(json.dumps({
+        "metric": "decode_windows_per_s_per_chip",
+        "value": round(windows_per_s, 3),
+        "unit": "windows/s",
+        "vs_baseline": round(windows_per_s / REF_WINDOWS_PER_S, 3),
+        "batch": B,
+        "spots_per_batch": n_spots,
+        "device": str(jax.devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()

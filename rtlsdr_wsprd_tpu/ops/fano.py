@@ -93,12 +93,15 @@ def batched_fano(
     mettab: jnp.ndarray,
     delta: int = 60,
     maxcycles: int = 10000,
+    valid: jnp.ndarray | None = None,
 ) -> FanoResult:
     """Decode B deinterleaved soft-symbol streams at once.
 
     symbols: uint8[B, 162]; mettab: int32[2, 256];
     maxcycles is per-bit like the C (total budget = maxcycles * 81,
-    wsprd/fano.c:149).
+    wsprd/fano.c:149). ``valid`` (bool[B], optional) marks live lanes;
+    padding lanes start done (success=False, zero cycles) so they cost
+    no iterations of the batched search.
     """
     B = symbols.shape[0]
     max_total = jnp.uint32(maxcycles * NBITS)
@@ -129,7 +132,7 @@ def batched_fano(
     t = jnp.zeros((B,), jnp.int32)
     cyc = jnp.zeros((B,), jnp.uint32)      # C's loop variable i (pre-increment)
     maxnp = jnp.zeros((B,), jnp.int32)
-    done = jnp.zeros((B,), bool)
+    done = jnp.zeros((B,), bool) if valid is None else ~valid
     success = jnp.zeros((B,), bool)
     metric = jnp.zeros((B,), jnp.int32)
     cycles_out = jnp.zeros((B,), jnp.uint32)
