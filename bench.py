@@ -15,7 +15,12 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/rtlsdr_wsprd_tpu/jax"))
 
 import numpy as np
 
@@ -30,7 +35,8 @@ def make_batch(B: int, seed: int = 11) -> np.ndarray:
 
     calls = ["K1JT FN20 37", "K9AN EN50 33", "G4ABC IO91 30",
              "VK2XYZ QF56 27"]
-    iq = np.zeros((B, 45000), dtype=np.complex64)
+    wi = np.zeros((B, 45000), dtype=np.float32)
+    wq = np.zeros((B, 45000), dtype=np.float32)
     for b in range(B):
         if b % 4 == 3:  # noise-only channel
             rng = np.random.default_rng(seed + b)
@@ -43,9 +49,8 @@ def make_batch(B: int, seed: int = 11) -> np.ndarray:
                 f0=[-60.0 + 13.0 * (b % 9), 45.0 - 11.0 * (b % 7)],
                 t0=[2.0, 1.0], seed=seed + b,
             )
-        i, q = normalize_minus3db(i, q)
-        iq[b] = i + 1j * q
-    return iq
+        wi[b], wq[b] = normalize_minus3db(i, q)
+    return wi, wq
 
 
 def main() -> None:
@@ -55,18 +60,18 @@ def main() -> None:
     from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
 
     B = 32
-    iq = make_batch(B)
+    wi, wq = make_batch(B)
     options = DecoderOptions()
 
     # warmup (compile)
-    spots = decode_channels(iq[:B], options)
+    spots = decode_channels(wi, wq, options)
     n_spots = sum(len(s) for s in spots)
 
     # steady state
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        spots = decode_channels(iq, options)
+        spots = decode_channels(wi, wq, options)
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 

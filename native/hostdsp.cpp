@@ -1,0 +1,249 @@
+// hostdsp: native host-side runtime for rtlsdr_wsprd_tpu.
+//
+// The reference's runtime is C (rtlsdr_wsprd.c / wsprd/); the TPU
+// framework keeps its hot numeric path on the device (JAX/Pallas) and
+// implements the host-side protocol/ingest pieces natively here:
+//
+//   * wspr_nhash        — Bob Jenkins lookup3 hashlittle (byte-wise
+//                         formulation), WSPR convention initval=146,
+//                         15-bit mask. Protocol-visible; bit-exact with
+//                         utils/nhash.py (reference: wsprd/nhash.c).
+//   * wspr_fano_decode  — sequential Fano decoder for the K=32 r=1/2
+//                         code, semantically identical to the batched
+//                         TPU decoder (ops/fano.py): same threshold
+//                         walk, cycle accounting and byte extraction.
+//                         Serves as the host parity oracle and a
+//                         CPU-only fallback (reference: wsprd/fano.c).
+//   * wspr_conv_encode  — shift-register convolutional encoder
+//                         (reference: wsprd/fano.c encode()).
+//   * u8_deinterleave_center — RTL ingest: interleaved uint8 ->
+//                         planar float32 recentered by -128 (the
+//                         reference's XOR 0x80, rtlsdr_wsprd.c:171).
+//
+// Exposed as a plain C ABI consumed via ctypes (see
+// rtlsdr_wsprd_tpu/native/__init__.py). Build: native/Makefile.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint32_t kPoly1 = 0xF2D05351u;  // Layland-Lushbaugh
+constexpr uint32_t kPoly2 = 0xE4613C47u;
+constexpr int kNBits = 81;
+constexpr int kTail = kNBits - 31;  // all-zero flush region
+
+inline uint32_t rot(uint32_t x, int k) {
+  return (x << k) | (x >> (32 - k));
+}
+
+inline int parity32(uint32_t v) { return __builtin_parity(v); }
+
+inline int encode_sym(uint32_t state) {
+  return (parity32(state & kPoly1) << 1) | parity32(state & kPoly2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- lookup3 ---------------------------------------------------------------
+
+uint32_t wspr_hashlittle(const uint8_t* key, uint64_t length,
+                         uint32_t initval) {
+  uint32_t a, b, c;
+  a = b = c = 0xDEADBEEFu + static_cast<uint32_t>(length) + initval;
+
+  while (length > 12) {
+    a += key[0] | (uint32_t(key[1]) << 8) | (uint32_t(key[2]) << 16) |
+         (uint32_t(key[3]) << 24);
+    b += key[4] | (uint32_t(key[5]) << 8) | (uint32_t(key[6]) << 16) |
+         (uint32_t(key[7]) << 24);
+    c += key[8] | (uint32_t(key[9]) << 8) | (uint32_t(key[10]) << 16) |
+         (uint32_t(key[11]) << 24);
+    // mix
+    a -= c; a ^= rot(c, 4);  c += b;
+    b -= a; b ^= rot(a, 6);  a += c;
+    c -= b; c ^= rot(b, 8);  b += a;
+    a -= c; a ^= rot(c, 16); c += b;
+    b -= a; b ^= rot(a, 19); a += c;
+    c -= b; c ^= rot(b, 4);  b += a;
+    key += 12;
+    length -= 12;
+  }
+
+  if (length == 0) return c;
+  uint32_t w[3] = {0, 0, 0};
+  for (uint64_t i = 0; i < length; ++i) {
+    w[i >> 2] |= uint32_t(key[i]) << (8 * (i & 3));
+  }
+  a += w[0];
+  b += w[1];
+  c += w[2];
+  // final
+  c ^= b; c -= rot(b, 14);
+  a ^= c; a -= rot(c, 11);
+  b ^= a; b -= rot(a, 25);
+  c ^= b; c -= rot(b, 16);
+  a ^= c; a -= rot(c, 4);
+  b ^= a; b -= rot(a, 14);
+  c ^= b; c -= rot(b, 24);
+  return c;
+}
+
+uint32_t wspr_nhash(const char* callsign, uint64_t length) {
+  return wspr_hashlittle(reinterpret_cast<const uint8_t*>(callsign), length,
+                         146u) & 32767u;
+}
+
+// ---- convolutional encoder -------------------------------------------------
+
+// data: 11 bytes MSB-first; emits nsym in {0,1,2,3} (2 bits per input
+// bit): POLY1 parity in bit 1, POLY2 parity in bit 0.
+void wspr_conv_encode(const uint8_t* data, uint8_t* symbols, int nsym) {
+  uint32_t state = 0;
+  int out = 0;
+  for (int byte = 0; byte < 11 && out < nsym; ++byte) {
+    for (int bit = 7; bit >= 0 && out < nsym; --bit) {
+      state = (state << 1) | ((data[byte] >> bit) & 1);
+      symbols[out++] = static_cast<uint8_t>(encode_sym(state));
+    }
+  }
+}
+
+// ---- sequential Fano decoder -----------------------------------------------
+
+// symbols:    162 deinterleaved soft symbols (0..255)
+// mettab:     int32[2*256], mettab[0]=row for tx bit 0, mettab[1] row 1
+// delta:      threshold step
+// maxcycles:  per-bit budget (total = maxcycles * 81)
+// out_data:   uint8[11] decoded bytes (last always 0)
+// out_cycles: cycle count, C semantics (success: break iter + 1;
+//             timeout: total + 2)
+// out_metric: final path metric
+// returns 1 on success, 0 on timeout.
+int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
+                     int32_t delta, uint32_t maxcycles, uint8_t* out_data,
+                     uint32_t* out_cycles, int32_t* out_metric) {
+  // per-node branch metrics indexed by tx symbol (2 bits)
+  int32_t met[kNBits][4];
+  const int32_t* m0 = mettab;
+  const int32_t* m1 = mettab + 256;
+  for (int n = 0; n < kNBits; ++n) {
+    const int s0 = symbols[2 * n];
+    const int s1 = symbols[2 * n + 1];
+    met[n][0] = m0[s0] + m0[s1];
+    met[n][1] = m0[s0] + m1[s1];
+    met[n][2] = m1[s0] + m0[s1];
+    met[n][3] = m1[s0] + m1[s1];
+  }
+
+  struct Node {
+    int32_t gamma;
+    uint32_t enc;
+    int32_t tm[2];
+    int32_t branch;
+  };
+  Node nd[kNBits + 1];
+
+  // root: encoder output for the 0-branch of an all-zero state is
+  // symbol 0; the complement branch sees symbol 3
+  {
+    const int32_t b0 = met[0][0];
+    const int32_t b1 = met[0][3];
+    nd[0].gamma = 0;
+    nd[0].branch = 0;
+    if (b0 > b1) {
+      nd[0].enc = 0;
+      nd[0].tm[0] = b0;
+      nd[0].tm[1] = b1;
+    } else {
+      nd[0].enc = 1;
+      nd[0].tm[0] = b1;
+      nd[0].tm[1] = b0;
+    }
+  }
+
+  int pos = 0;
+  int32_t t = 0;
+  const uint64_t max_total = uint64_t(maxcycles) * kNBits;
+
+  for (uint64_t i = 1;; ++i) {
+    Node& cur = nd[pos];
+    const int32_t ngamma = cur.gamma + cur.tm[cur.branch];
+    if (ngamma >= t) {
+      // forward move; tighten threshold on first visits
+      if (cur.gamma < t + delta) t += delta * ((ngamma - t) / delta);
+      const int newpos = pos + 1;
+      Node& nxt = nd[newpos];
+      nxt.gamma = ngamma;
+      const uint32_t enc_new = cur.enc << 1;
+      nxt.enc = enc_new;
+      if (newpos == kNBits) {
+        const bool ok = i < max_total;
+        *out_metric = ngamma;
+        *out_cycles = static_cast<uint32_t>(i + 1);
+        for (int k = 0; k < 10; ++k) {
+          out_data[k] = static_cast<uint8_t>(nd[7 + 8 * k].enc & 0xFF);
+        }
+        out_data[10] = 0;
+        return ok ? 1 : 0;
+      }
+      const int lsym = encode_sym(enc_new);
+      const int32_t b0 = met[newpos][lsym];
+      const int32_t b1 = met[newpos][3 ^ lsym];
+      if (newpos >= kTail) {
+        nxt.tm[0] = b0;  // tail explores only the 0-branch
+      } else if (b0 > b1) {
+        nxt.tm[0] = b0;
+        nxt.tm[1] = b1;
+      } else {
+        nxt.tm[0] = b1;
+        nxt.tm[1] = b0;
+        nxt.enc = enc_new + 1;
+      }
+      nxt.branch = 0;
+      pos = newpos;
+    } else {
+      // backtrack walk
+      for (;;) {
+        if (pos == 0 || nd[pos - 1].gamma < t) {
+          t -= delta;  // origin (or first visit below threshold): relax
+          if (nd[pos].branch != 0) {
+            nd[pos].branch = 0;
+            nd[pos].enc ^= 1;
+          }
+          break;
+        }
+        --pos;
+        if (pos < kTail && nd[pos].branch != 1) {
+          nd[pos].branch += 1;
+          nd[pos].enc ^= 1;
+          break;
+        }
+      }
+    }
+    if (i >= max_total) {
+      *out_metric = nd[pos].gamma;
+      *out_cycles = static_cast<uint32_t>(max_total + 2);
+      std::memset(out_data, 0, 11);
+      return 0;
+    }
+  }
+}
+
+// ---- ingest -----------------------------------------------------------------
+
+// raw: n_pairs interleaved (I,Q) uint8 samples -> planar float32
+// recentered by -128 (the reference's in-place XOR 0x80,
+// rtlsdr_wsprd.c:158-182; the fs/4 mixer itself lives in the stage-1
+// polyphase coefficients, frontend/filters.py).
+void u8_deinterleave_center(const uint8_t* raw, uint64_t n_pairs,
+                            float* out_i, float* out_q) {
+  for (uint64_t k = 0; k < n_pairs; ++k) {
+    out_i[k] = static_cast<float>(raw[2 * k]) - 128.0f;
+    out_q[k] = static_cast<float>(raw[2 * k + 1]) - 128.0f;
+  }
+}
+
+}  // extern "C"

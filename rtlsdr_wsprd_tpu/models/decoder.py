@@ -82,7 +82,8 @@ class Spot:
 
 @partial(jax.jit, static_argnames=("lagstep", "iifac", "quickmode", "symfac"))
 def _analyze_pass(
-    iq: jnp.ndarray,
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
     maxdrift: jnp.ndarray,
     fmin: float,
     fmax: float,
@@ -91,13 +92,17 @@ def _analyze_pass(
     quickmode: bool,
     symfac: int,
 ):
-    """Device part of one pass: everything up to (but excluding) Fano."""
-    ps = power_spectrogram(iq)
+    """Device part of one pass: everything up to (but excluding) Fano.
+
+    I/Q are planar float32 throughout the device path (no complex
+    dtype on TPU; see ops/sync.py)."""
+    ps = power_spectrogram(sig_i, sig_q)
     cand = find_candidates(ps, fmin, fmax)
     coarse = coarse_search(ps, cand.bin_idx, maxdrift)
-    fine = fine_sync(iq, coarse.freq, coarse.shift, coarse.drift, lagstep=lagstep)
+    fine = fine_sync(sig_i, sig_q, coarse.freq, coarse.shift, coarse.drift,
+                     lagstep=lagstep)
     jit = soft_symbols_jittered(
-        iq, fine.freq, fine.shift, coarse.drift,
+        sig_i, sig_q, fine.freq, fine.shift, coarse.drift,
         iifac=iifac, quickmode=quickmode, symfac=symfac,
     )
     return cand, coarse, fine, jit
@@ -123,9 +128,9 @@ def decode_window(
     normalization, as in the reference).
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    iq = jnp.asarray(i_samples, jnp.float32) + 1j * jnp.asarray(q_samples, jnp.float32)
-    iq = iq.astype(jnp.complex64)
-    assert iq.shape == (SIGNAL_SAMPLES,)
+    sig_i = jnp.asarray(i_samples, jnp.float32)
+    sig_q = jnp.asarray(q_samples, jnp.float32)
+    assert sig_i.shape == sig_q.shape == (SIGNAL_SAMPLES,)
 
     lagstep = 16 if options.quickmode else 8
     jit_offsets = jitter_offsets(options.iifac, options.quickmode)
@@ -140,7 +145,7 @@ def decode_window(
         minsync2 = options.minsync2 if ipass < 2 else 0.10
 
         cand, coarse, fine, jit = _analyze_pass(
-            iq, jnp.int32(maxdrift), options.fmin, options.fmax,
+            sig_i, sig_q, jnp.int32(maxdrift), options.fmin, options.fmax,
             lagstep, options.iifac, options.quickmode, options.symfac,
         )
         valid = np.asarray(cand.valid)
@@ -224,9 +229,10 @@ def decode_window(
             chan_syms = get_wspr_channel_symbols(call_loc_pow, ht)
             if chan_syms is None:
                 continue  # divergence: the reference breaks the loop
-            iq = subtract_signal2(
-                iq, jnp.float32(freq_fine[c]), jnp.int32(shift_fine[c]),
-                jnp.float32(drift_c[c]), jnp.asarray(chan_syms),
+            sig_i, sig_q = subtract_signal2(
+                sig_i, sig_q, jnp.float32(freq_fine[c]),
+                jnp.int32(shift_fine[c]), jnp.float32(drift_c[c]),
+                jnp.asarray(chan_syms),
             )
 
     uniques.sort(key=lambda s: -s.snr)  # wsprd/wsprd.c:826-827

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native host runtime (native/hostdsp.cpp).
+
+Builds the shared object on first use if g++ is available; every entry
+point has a pure-Python/JAX fallback, so the framework works without a
+toolchain (``AVAILABLE`` tells you which path you're on). The native
+pieces mirror the reference's C host code: lookup3 nhash
+(wsprd/nhash.c), the sequential Fano decoder (wsprd/fano.c) used here
+as a parity oracle / CPU fallback, and uint8 IQ ingest
+(rtlsdr_wsprd.c:158-182).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SO = _NATIVE_DIR / "libhostdsp.so"
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO.exists()
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+
+    lib.wspr_nhash.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.wspr_nhash.restype = ctypes.c_uint32
+
+    lib.wspr_hashlittle.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32]
+    lib.wspr_hashlittle.restype = ctypes.c_uint32
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+    lib.wspr_fano_decode.argtypes = [
+        u8p, i32p, ctypes.c_int32, ctypes.c_uint32, u8p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+    lib.wspr_fano_decode.restype = ctypes.c_int
+
+    lib.wspr_conv_encode.argtypes = [u8p, u8p, ctypes.c_int]
+    lib.wspr_conv_encode.restype = None
+
+    lib.u8_deinterleave_center.argtypes = [u8p, ctypes.c_uint64, f32p, f32p]
+    lib.u8_deinterleave_center.restype = None
+
+    _lib = lib
+    return lib
+
+
+AVAILABLE = (os.environ.get("RTLSDR_WSPRD_TPU_NO_NATIVE") != "1"
+             and _load() is not None)
+
+
+def nhash(callsign: str | bytes) -> int:
+    lib = _load()
+    if isinstance(callsign, str):
+        callsign = callsign.encode("ascii")
+    if lib is None:
+        from ..utils.nhash import nhash as py_nhash
+        return py_nhash(callsign)
+    return int(lib.wspr_nhash(callsign, len(callsign)))
+
+
+def fano_decode(symbols: np.ndarray, mettab: np.ndarray,
+                delta: int = 60, maxcycles: int = 10000):
+    """Sequential host Fano. symbols: uint8[162] (deinterleaved);
+    mettab: int32[2, 256]. Returns (success, data[11], cycles, metric).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native hostdsp unavailable "
+                           "(use ops.fano.batched_fano instead)")
+    symbols = np.ascontiguousarray(symbols, np.uint8)
+    mettab = np.ascontiguousarray(mettab, np.int32)
+    assert symbols.shape == (162,) and mettab.shape == (2, 256)
+    data = np.zeros(11, np.uint8)
+    cycles = ctypes.c_uint32(0)
+    metric = ctypes.c_int32(0)
+    ok = lib.wspr_fano_decode(symbols, mettab.reshape(-1), delta, maxcycles,
+                              data, ctypes.byref(cycles),
+                              ctypes.byref(metric))
+    return bool(ok), data, int(cycles.value), int(metric.value)
+
+
+def conv_encode(data: np.ndarray, nsym: int = 162) -> np.ndarray:
+    lib = _load()
+    data = np.ascontiguousarray(data, np.uint8)
+    assert data.shape == (11,)
+    if lib is None:
+        raise RuntimeError("native hostdsp unavailable")
+    out = np.zeros(nsym, np.uint8)
+    lib.wspr_conv_encode(data, out, nsym)
+    return out
+
+
+def u8_deinterleave_center(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved uint8 IQ -> planar recentered float32 (I, Q)."""
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = raw.shape[0] // 2
+    lib = _load()
+    if lib is None:
+        f = raw[:2 * n].astype(np.float32) - 128.0
+        return np.ascontiguousarray(f[0::2]), np.ascontiguousarray(f[1::2])
+    out_i = np.empty(n, np.float32)
+    out_q = np.empty(n, np.float32)
+    lib.u8_deinterleave_center(raw, n, out_i, out_q)
+    return out_i, out_q

@@ -1,4 +1,4 @@
-"""Decoded-signal subtraction for multi-pass decoding.
+"""Decoded-signal subtraction for multi-pass decoding (planar real).
 
 ``subtract_signal2`` is the production path (wsprd/wsprd.c:315-413,
 invoked at :785): regenerate the decoded transmission as a
@@ -10,9 +10,10 @@ and subtract c(t) * r(t) with partial-sum edge normalization.
 defines but never calls (wsprd/wsprd.c:263-312); implemented for API
 parity.
 
-Everything is expressed on complex64 windows; the LPF is one
-``jnp.convolve`` (XLA lowers it to an FFT or direct conv as it sees
-fit).
+Complex arithmetic is planar (re, im) float32 — the TPU has no native
+complex type; the LPF is a chunked im2col matvec (the conv primitive
+is avoided entirely: gathers + matmuls map better onto the TPU and
+sidestep backend conv support).
 """
 
 from __future__ import annotations
@@ -39,44 +40,81 @@ def _halfsine_taps() -> tuple[np.ndarray, np.ndarray]:
 
 _W, _PARTIAL = _halfsine_taps()
 
+_FIR_CHUNK = 4500  # frames per im2col chunk (45000 / 4500 = 10 steps)
 
-def _reference_signal(f0, drift, symbols: jnp.ndarray) -> jnp.ndarray:
-    """Continuous-phase 4-FSK reference r(t), complex64[41472]
-    (wsprd/wsprd.c:339-351)."""
+
+def _fir_same(x: jnp.ndarray, w_flipped: jnp.ndarray) -> jnp.ndarray:
+    """numpy-convolve-'same' FIR via chunked im2col matvec.
+
+    x: float32[SIGNAL_SAMPLES]; w_flipped: float32[NFILT] already
+    reversed (w[NFILT-1-j]). y[n] = sum_k w[k] x[n + 179 - k].
+    """
+    xp = jnp.pad(x, (NFILT - 1, NFILT - 1))
+    # y_same[n] = y_full[n + (NFILT-1)//2]; with the front pad of
+    # NFILT-1 and j = NFILT-1-k this is X[n, j] = xp[n + base + j]
+    base = (NFILT - 1) // 2  # 179
+
+    def chunk(carry, n0):
+        del carry
+        idx = n0 + base + (jnp.arange(_FIR_CHUNK)[:, None]
+                           + jnp.arange(NFILT)[None, :])
+        X = xp[idx]  # (_FIR_CHUNK, NFILT)
+        return None, jnp.dot(X, w_flipped,
+                             preferred_element_type=jnp.float32)
+
+    starts = jnp.arange(0, SIGNAL_SAMPLES, _FIR_CHUNK, dtype=jnp.int32)
+    _, ys = jax.lax.scan(chunk, None, starts)
+    return ys.reshape(-1)[:SIGNAL_SAMPLES]
+
+
+def _reference_signal(f0, drift, symbols: jnp.ndarray):
+    """Continuous-phase 4-FSK reference r(t), planar (re, im)
+    float32[41472] (wsprd/wsprd.c:339-351)."""
     i = jnp.arange(NSYM, dtype=jnp.float32)
     cs = symbols.astype(jnp.float32)
     fsym = f0 + (drift / 2.0) * (i - NSYM / 2.0) / (NSYM / 2.0) + (cs - 1.5) * DF
     dphi = TWOPIDT * fsym                       # per-sample increment per symbol
     incr = jnp.repeat(dphi, NSPERSYM)           # (41472,)
     phi = jnp.concatenate([jnp.zeros(1), jnp.cumsum(incr)[:-1]])
-    return jax.lax.complex(jnp.cos(phi), jnp.sin(phi))
+    return jnp.cos(phi), jnp.sin(phi)
 
 
 @jax.jit
 def subtract_signal2(
-    iq: jnp.ndarray,      # complex64[SIGNAL_SAMPLES], the window
+    sig_i: jnp.ndarray,   # float32[SIGNAL_SAMPLES], window I plane
+    sig_q: jnp.ndarray,   # float32[SIGNAL_SAMPLES], window Q plane
     f0: jnp.ndarray,      # scalar float32
     shift: jnp.ndarray,   # scalar int32
     drift: jnp.ndarray,   # scalar float32
     symbols: jnp.ndarray  # uint8[162] channel symbols of the decode
-) -> jnp.ndarray:
-    """Return the window with the decoded signal coherently removed."""
-    r = _reference_signal(f0, drift, symbols)  # (41472,)
+):
+    """Return (i, q) with the decoded signal coherently removed."""
+    rr, ri = _reference_signal(f0, drift, symbols)  # (41472,) x2
 
     # s(t) * conj(r(t)) at k = shift + i, valid for 0 < k < np
     # (wsprd/wsprd.c:375-381); the C pads NFILT zeros in front.
     k = shift + jnp.arange(NSIG, dtype=jnp.int32)
     ok = (k > 0) & (k < SIGNAL_SAMPLES)
-    s = jnp.where(ok, iq[jnp.clip(k, 0, SIGNAL_SAMPLES - 1)], 0.0)
-    c = jnp.zeros(SIGNAL_SAMPLES, dtype=iq.dtype)
-    c = jax.lax.dynamic_update_slice(c, s * jnp.conj(r), (NFILT,))
+    kc = jnp.clip(k, 0, SIGNAL_SAMPLES - 1)
+    sr = jnp.where(ok, sig_i[kc], 0.0)
+    si = jnp.where(ok, sig_q[kc], 0.0)
+    # s * conj(r)
+    cr0 = sr * rr + si * ri
+    ci0 = si * rr - sr * ri
+    cr = jax.lax.dynamic_update_slice(
+        jnp.zeros(SIGNAL_SAMPLES, sig_i.dtype), cr0, (NFILT,))
+    ci = jax.lax.dynamic_update_slice(
+        jnp.zeros(SIGNAL_SAMPLES, sig_i.dtype), ci0, (NFILT,))
 
     # 360-tap half-sine LPF, output restricted to
     # [NFILT/2, SIGNAL_SAMPLES - NFILT/2) (wsprd/wsprd.c:384-391)
-    w = jnp.asarray(_W).astype(iq.real.dtype)
-    cf = jnp.convolve(c, w.astype(iq.dtype), mode="same")
+    wf = jnp.asarray(_W[::-1].copy())
+    cfr = _fir_same(cr, wf)
+    cfi = _fir_same(ci, wf)
     pos = jnp.arange(SIGNAL_SAMPLES)
-    cf = jnp.where((pos >= NFILT // 2) & (pos < SIGNAL_SAMPLES - NFILT // 2), cf, 0.0)
+    keep = (pos >= NFILT // 2) & (pos < SIGNAL_SAMPLES - NFILT // 2)
+    cfr = jnp.where(keep, cfr, 0.0)
+    cfi = jnp.where(keep, cfi, 0.0)
 
     # edge normalization by the filter's partial step response
     # (wsprd/wsprd.c:397-411)
@@ -88,16 +126,21 @@ def subtract_signal2(
                   partial[jnp.clip(NFILT // 2 + NSIG - 1 - i, 0, NFILT - 1)],
                   1.0),
     )
-    delta = cf[i + NFILT] * r / norm
-    upd = jnp.where(ok, -delta, 0.0)
-    return iq.at[jnp.clip(k, 0, SIGNAL_SAMPLES - 1)].add(upd)
+    gr = cfr[i + NFILT] / norm
+    gi = cfi[i + NFILT] / norm
+    # delta = c(t) * r(t)
+    dr = gr * rr - gi * ri
+    di = gr * ri + gi * rr
+    out_i = sig_i.at[kc].add(jnp.where(ok, -dr, 0.0))
+    out_q = sig_q.at[kc].add(jnp.where(ok, -di, 0.0))
+    return out_i, out_q
 
 
 @jax.jit
 def subtract_signal(
-    iq: jnp.ndarray, f0: jnp.ndarray, shift: jnp.ndarray,
-    drift: jnp.ndarray, symbols: jnp.ndarray,
-) -> jnp.ndarray:
+    sig_i: jnp.ndarray, sig_q: jnp.ndarray, f0: jnp.ndarray,
+    shift: jnp.ndarray, drift: jnp.ndarray, symbols: jnp.ndarray,
+):
     """Per-symbol amplitude estimate and subtraction
     (wsprd/wsprd.c:263-312; defined but unused in the reference)."""
     i = jnp.arange(NSYM, dtype=jnp.float32)
@@ -107,13 +150,19 @@ def subtract_signal(
     dphi = TWOPIDT * fsym  # (162,)
     # phase resets at each symbol (c0[0]=1, wsprd/wsprd.c:280-286)
     phase = dphi[:, None] * jnp.arange(NSPERSYM, dtype=jnp.float32)[None, :]
-    e = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # (162,256)
+    er, ei = jnp.cos(phase), jnp.sin(phase)  # (162,256)
 
     k = (shift + (jnp.arange(NSYM)[:, None] * NSPERSYM)
          + jnp.arange(NSPERSYM)[None, :]).astype(jnp.int32)
     ok = (k > 0) & (k < SIGNAL_SAMPLES)
-    s = jnp.where(ok, iq[jnp.clip(k, 0, SIGNAL_SAMPLES - 1)], 0.0)
-    amp = jnp.sum(s * jnp.conj(e), axis=1) / NSPERSYM  # (162,)
-    delta = amp[:, None] * e
-    upd = jnp.where(ok, -delta, 0.0)
-    return iq.at[jnp.clip(k.ravel(), 0, SIGNAL_SAMPLES - 1)].add(upd.ravel())
+    kc = jnp.clip(k, 0, SIGNAL_SAMPLES - 1)
+    sr = jnp.where(ok, sig_i[kc], 0.0)
+    si = jnp.where(ok, sig_q[kc], 0.0)
+    # amp = mean(s * conj(e)) per symbol
+    ar = jnp.sum(sr * er + si * ei, axis=1) / NSPERSYM  # (162,)
+    ai = jnp.sum(si * er - sr * ei, axis=1) / NSPERSYM
+    dr = ar[:, None] * er - ai[:, None] * ei
+    di = ar[:, None] * ei + ai[:, None] * er
+    out_i = sig_i.at[kc.ravel()].add(jnp.where(ok, -dr, 0.0).ravel())
+    out_q = sig_q.at[kc.ravel()].add(jnp.where(ok, -di, 0.0).ravel())
+    return out_i, out_q

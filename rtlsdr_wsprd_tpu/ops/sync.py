@@ -11,9 +11,13 @@ and the phasor factorizes:
 
 where E_cand depends only on the candidate's (freq, drift) and E_TONE
 is a static (256, 4) matrix. The tone correlation then becomes a
-(C*162, 256) @ (256, 4) complex matmul — MXU work — and the lag/freq/
-jitter axis is a short lax.scan re-using E_cand. A frequency-offset
-factor E_freq[f,j] separates the same way for the mode-1 search.
+(C*162, 256) @ (256, 4) matmul — MXU work — and the lag/freq/jitter
+axis is a short lax.scan re-using E_cand. A frequency-offset factor
+E_freq[f,j] separates the same way for the mode-1 search.
+
+All complex arithmetic is PLANAR REAL (separate re/im float32 arrays):
+TPUs have no native complex type, so the correlations are explicit
+4-term real einsums and magnitudes are sqrt(re^2 + im^2).
 
 Modes map to: fine_sync (mode 0 lag search + mode 1 freq search,
 wsprd/wsprd.c:709-726) and soft_symbols_jittered (mode 2 over the
@@ -37,14 +41,17 @@ TWOPIDT = 2.0 * np.pi * DT
 # E_TONE[j, t] = exp(-i * 2*pi*dt * (t-1.5)*DF * j): static tone phasors
 _j = np.arange(NSPERSYM, dtype=np.float64)
 _t = np.arange(4, dtype=np.float64) - 1.5
-E_TONE = np.exp(-1j * TWOPIDT * DF * np.outer(_j, _t)).astype(np.complex64)  # (256,4)
+_ANG_TONE = TWOPIDT * DF * np.outer(_j, _t)
+E_TONE_R = np.cos(_ANG_TONE).astype(np.float32)   # (256, 4)
+E_TONE_I = (-np.sin(_ANG_TONE)).astype(np.float32)
 
 _PR3 = PR3_VECTOR.astype(bool)          # (162,)
 _PR3_SIGN = 2.0 * PR3_VECTOR.astype(np.float32) - 1.0
 
 
-def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray) -> jnp.ndarray:
-    """conj of the per-candidate base phasor, (C, 162, 256) complex64.
+def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray):
+    """conj of the per-candidate base phasor, planar (re, im), each
+    (C, 162, 256) float32.
 
     fp_i = f0 + (drift/2) * (i - 81)/81 (wsprd/wsprd.c:156); phase
     accumulates as j * 2*pi*dt*fp_i within each symbol (phase resets at
@@ -54,25 +61,39 @@ def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray) -> jnp.ndarray:
     fp = f0[:, None] + (drift[:, None] / 2.0) * (i[None, :] - NBITS) / NBITS  # (C,162)
     dphi = TWOPIDT * fp  # (C,162)
     phase = dphi[:, :, None] * jnp.arange(NSPERSYM, dtype=jnp.float32)  # (C,162,256)
-    return jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+    return jnp.cos(phase), -jnp.sin(phase)
 
 
-def _gather_symbols(iq: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
-    """Windowed samples x[c, i, j] = iq[shift_c + 256*i + j], zero outside
-    (0, np) — note the reference's strict k > 0 bound (wsprd/wsprd.c:199)."""
+def _gather_symbols(sig_i: jnp.ndarray, sig_q: jnp.ndarray,
+                    shifts: jnp.ndarray):
+    """Windowed samples x[c, i, j] = sig[shift_c + 256*i + j], zero
+    outside (0, np) — note the reference's strict k > 0 bound
+    (wsprd/wsprd.c:199)."""
     k = (shifts[:, None, None]
          + (jnp.arange(NSYM, dtype=jnp.int32) * NSPERSYM)[None, :, None]
          + jnp.arange(NSPERSYM, dtype=jnp.int32)[None, None, :])  # (C,162,256)
     ok = (k > 0) & (k < SIGNAL_SAMPLES)
-    x = iq[jnp.clip(k, 0, SIGNAL_SAMPLES - 1)]
-    return jnp.where(ok, x, 0.0)
+    kc = jnp.clip(k, 0, SIGNAL_SAMPLES - 1)
+    xr = jnp.where(ok, sig_i[kc], 0.0)
+    xi = jnp.where(ok, sig_q[kc], 0.0)
+    return xr, xi
 
 
-def _tone_powers(y: jnp.ndarray, e_ft: jnp.ndarray) -> jnp.ndarray:
-    """y: (C,162,256) de-rotated samples; e_ft: (256, K) tone(/freq)
-    phasors -> |z|: (C,162,K)."""
-    z = jnp.einsum("cij,jk->cik", y, e_ft, preferred_element_type=jnp.complex64)
-    return jnp.abs(z)
+def _tone_mags(yr: jnp.ndarray, yi: jnp.ndarray,
+               er: jnp.ndarray, ei: jnp.ndarray) -> jnp.ndarray:
+    """y: (C,162,256) de-rotated samples (planar); e: (256, K) tone
+    (/freq) phasors (planar) -> |z|: (C,162,K). Four real einsums on
+    the MXU."""
+    zr = (jnp.einsum("cij,jk->cik", yr, er, preferred_element_type=jnp.float32)
+          - jnp.einsum("cij,jk->cik", yi, ei, preferred_element_type=jnp.float32))
+    zi = (jnp.einsum("cij,jk->cik", yr, ei, preferred_element_type=jnp.float32)
+          + jnp.einsum("cij,jk->cik", yi, er, preferred_element_type=jnp.float32))
+    return jnp.sqrt(zr * zr + zi * zi)
+
+
+def _derotate(xr, xi, ecr, eci):
+    """y = x * ec, planar."""
+    return xr * ecr - xi * eci, xr * eci + xi * ecr
 
 
 def _sync_from_powers(p: jnp.ndarray) -> jnp.ndarray:
@@ -92,27 +113,27 @@ class FineSync(NamedTuple):
 
 @partial(jax.jit, static_argnames=("lagstep",))
 def fine_sync(
-    iq: jnp.ndarray,
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
     freq: jnp.ndarray,
     shift: jnp.ndarray,
     drift: jnp.ndarray,
     lagstep: int = 8,
 ) -> FineSync:
     """Mode-0 lag search (+/-128 by lagstep) then mode-1 freq search
-    (+/-0.2 Hz by 0.1) for all candidates at once (wsprd/wsprd.c:709-726).
-
-    quickmode uses lagstep=16 (rtlsdr options.quickmode,
-    wsprd/wsprd.c:716-717).
-    """
-    ec = _cand_phasor_conj(freq, drift)  # (C,162,256)
-    e_tone = jnp.asarray(E_TONE)
+    (+/-0.2 Hz, step 0.1) for all candidates at once
+    (wsprd/wsprd.c:709-726). quickmode uses lagstep=16."""
+    ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
+    etr = jnp.asarray(E_TONE_R)
+    eti = jnp.asarray(E_TONE_I)
 
     # ---- mode 0: lag search ----
     rel_lags = jnp.arange(-128, 129, lagstep, dtype=jnp.int32)
 
     def lag_step(_, rel):
-        x = _gather_symbols(iq, shift + rel)
-        p = _tone_powers(x * ec, e_tone)  # (C,162,4)
+        xr, xi = _gather_symbols(sig_i, sig_q, shift + rel)
+        yr, yi = _derotate(xr, xi, ecr, eci)
+        p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
         return None, _sync_from_powers(p)
 
     _, sync_l = jax.lax.scan(lag_step, None, rel_lags)  # (L, C)
@@ -122,18 +143,22 @@ def fine_sync(
     # ---- mode 1: freq search at the best lag ----
     fstep = 0.1
     ifreqs = jnp.arange(-2, 3, dtype=jnp.float32)
-    # separable frequency offset phasor: (256, 5)
+    # separable frequency offset phasor (256, 5), then combined with the
+    # tone phasors into a (256, 20) planar matrix
     jj = jnp.arange(NSPERSYM, dtype=jnp.float32)
     ph = TWOPIDT * fstep * jnp.outer(jj, ifreqs)
-    e_freq = jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))  # (256,5)
-    # combined (256, 5*4) matrix
-    e_ft = (e_freq[:, :, None] * e_tone[:, None, :]).reshape(NSPERSYM, 20)
+    efr, efi = jnp.cos(ph), -jnp.sin(ph)  # (256,5)
+    er = (efr[:, :, None] * etr[:, None, :]
+          - efi[:, :, None] * eti[:, None, :]).reshape(NSPERSYM, 20)
+    ei = (efr[:, :, None] * eti[:, None, :]
+          + efi[:, :, None] * etr[:, None, :]).reshape(NSPERSYM, 20)
 
-    x1 = _gather_symbols(iq, shift1)           # (C,162,256)
-    p = _tone_powers(x1 * ec, e_ft)            # (C,162,20)
+    xr, xi = _gather_symbols(sig_i, sig_q, shift1)      # (C,162,256)
+    yr, yi = _derotate(xr, xi, ecr, eci)
+    p = _tone_mags(yr, yi, er, ei)                      # (C,162,20)
     p = p.reshape(p.shape[0], NSYM, 5, 4)
-    sync_f = _sync_from_powers(jnp.moveaxis(p, 2, 0))  # (5, C)
-    best_f = jnp.argmax(sync_f, axis=0)        # freq ascending, first wins
+    sync_f = _sync_from_powers(jnp.moveaxis(p, 2, 0))   # (5, C)
+    best_f = jnp.argmax(sync_f, axis=0)                 # freq ascending, first wins
     freq1 = freq + (best_f.astype(jnp.float32) - 2.0) * fstep
     sync1 = jnp.take_along_axis(sync_f, best_f[None, :], axis=0)[0]
     return FineSync(freq=freq1, shift=shift1, sync=sync1)
@@ -160,7 +185,8 @@ class JitteredSymbols(NamedTuple):
 
 @partial(jax.jit, static_argnames=("iifac", "quickmode", "symfac"))
 def soft_symbols_jittered(
-    iq: jnp.ndarray,
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
     freq: jnp.ndarray,
     shift: jnp.ndarray,
     drift: jnp.ndarray,
@@ -170,15 +196,17 @@ def soft_symbols_jittered(
 ) -> JitteredSymbols:
     """Mode-2 soft symbols for every jitter attempt of every candidate
     (wsprd/wsprd.c:739-766 jitter loop; mode-2 body :219-256)."""
-    ec = _cand_phasor_conj(freq, drift)
-    e_tone = jnp.asarray(E_TONE)
+    ecr, eci = _cand_phasor_conj(freq, drift)
+    etr = jnp.asarray(E_TONE_R)
+    eti = jnp.asarray(E_TONE_I)
     jit = jnp.asarray(jitter_offsets(iifac, quickmode))
 
     pr3 = jnp.asarray(_PR3)
 
     def jit_step(_, ii):
-        x = _gather_symbols(iq, shift + ii)
-        p = _tone_powers(x * ec, e_tone)  # (C,162,4)
+        xr, xi = _gather_symbols(sig_i, sig_q, shift + ii)
+        yr, yi = _derotate(xr, xi, ecr, eci)
+        p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
         sync = _sync_from_powers(p)
         # fsymb = p3-p1 (pr3=1) else p2-p0 (wsprd/wsprd.c:219-225)
         fsymb = jnp.where(pr3[None, :], p[..., 3] - p[..., 1], p[..., 2] - p[..., 0])

@@ -70,7 +70,8 @@ class ChannelDecode(NamedTuple):
 
 
 def _decode_one_channel(
-    iq: jnp.ndarray,
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
     maxdrift: jnp.ndarray,
     mettab: jnp.ndarray,
     *,
@@ -87,15 +88,16 @@ def _decode_one_channel(
     delta: int,
     maxcycles: int,
 ) -> ChannelDecode:
-    """One channel's full device pass; vmapped over the batch axis."""
-    ps = power_spectrogram(iq)
+    """One channel's full device pass; vmapped over the batch axis.
+    I/Q are planar float32 (no complex dtype on TPU)."""
+    ps = power_spectrogram(sig_i, sig_q)
     cand = find_candidates(ps, fmin, fmax)
     coarse = coarse_search(ps, cand.bin_idx, maxdrift)
-    fine = fine_sync(iq, coarse.freq, coarse.shift, coarse.drift,
+    fine = fine_sync(sig_i, sig_q, coarse.freq, coarse.shift, coarse.drift,
                      lagstep=lagstep)
-    jit = soft_symbols_jittered(iq, fine.freq, fine.shift, coarse.drift,
-                                iifac=iifac, quickmode=quickmode,
-                                symfac=symfac)
+    jit = soft_symbols_jittered(sig_i, sig_q, fine.freq, fine.shift,
+                                coarse.drift, iifac=iifac,
+                                quickmode=quickmode, symfac=symfac)
 
     # gates (wsprd/wsprd.c:733 and :758)
     worth = cand.valid & (fine.sync > minsync1)            # (C,)
@@ -134,7 +136,8 @@ def _decode_one_channel(
                      "max_attempts", "delta", "maxcycles"),
 )
 def multichannel_decode_device(
-    iq: jnp.ndarray,
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
     maxdrift: jnp.ndarray,
     *,
     fmin: float = -110.0,
@@ -150,9 +153,10 @@ def multichannel_decode_device(
     delta: int = 60,
     maxcycles: int = 10000,
 ) -> ChannelDecode:
-    """iq: complex64[B, SIGNAL_SAMPLES]; maxdrift: int32[B] -> ChannelDecode.
+    """sig_i/sig_q: float32[B, SIGNAL_SAMPLES] planar windows;
+    maxdrift: int32[B] -> ChannelDecode.
 
-    Shard ``iq`` over the mesh ``ch`` axis (parallel.channel_sharding)
+    Shard the window planes over the mesh ``ch`` axis (channel_sharding)
     and every array in the result inherits the same sharding — XLA runs
     the step fully parallel with zero collectives.
     """
@@ -164,7 +168,7 @@ def multichannel_decode_device(
         minsync2=minsync2, minrms=minrms, max_attempts=max_attempts,
         delta=delta, maxcycles=maxcycles,
     )
-    return jax.vmap(fn)(iq, maxdrift)
+    return jax.vmap(fn)(sig_i, sig_q, maxdrift)
 
 
 def _collect_channel_spots(
@@ -218,7 +222,8 @@ def _collect_channel_spots(
 
 
 def decode_channels(
-    iq_windows: np.ndarray,
+    i_windows: np.ndarray,
+    q_windows: np.ndarray,
     options: DecoderOptions = DecoderOptions(),
     hashtable: WsprHashTable | None = None,
     sharding=None,
@@ -226,17 +231,21 @@ def decode_channels(
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
-    iq_windows: complex64[B, SIGNAL_SAMPLES] (already -3 dB normalized).
-    ``sharding``: optional NamedSharding for the channel axis (see
-    parallel.mesh.channel_sharding); None runs on the default device.
-    Returns per-channel Spot lists, each sorted by SNR descending.
+    i_windows/q_windows: float32[B, SIGNAL_SAMPLES] planar I/Q (already
+    -3 dB normalized). ``sharding``: optional NamedSharding for the
+    channel axis (see parallel.mesh.channel_sharding); None runs on the
+    default device. Returns per-channel Spot lists, each sorted by SNR
+    descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    iq = jnp.asarray(iq_windows, jnp.complex64)
-    assert iq.ndim == 2 and iq.shape[1] == SIGNAL_SAMPLES
-    B = iq.shape[0]
+    sig_i = jnp.asarray(i_windows, jnp.float32)
+    sig_q = jnp.asarray(q_windows, jnp.float32)
+    assert sig_i.ndim == 2 and sig_i.shape[1] == SIGNAL_SAMPLES
+    assert sig_i.shape == sig_q.shape
+    B = sig_i.shape[0]
     if sharding is not None:
-        iq = jax.device_put(iq, sharding)
+        sig_i = jax.device_put(sig_i, sharding)
+        sig_q = jax.device_put(sig_q, sharding)
 
     lagstep = 16 if options.quickmode else 8
     jit_offs = jitter_offsets(options.iifac, options.quickmode)
@@ -260,10 +269,10 @@ def decode_channels(
         md = jnp.asarray(maxdrift)
         if sharding is not None:
             md = jax.device_put(md, sharding)
-        out_dev = multichannel_decode_device(iq, md, **kw)
+        out_dev = multichannel_decode_device(sig_i, sig_q, md, **kw)
         out = jax.tree.map(np.asarray, out_dev)
 
-        iq_host = None
+        host_i = host_q = None
         for b in range(B):
             if ipass == 1 and not uniques[b]:
                 continue  # this channel's pass 0 was empty (wsprd.c:522)
@@ -273,29 +282,36 @@ def decode_channels(
                 chan_syms = get_wspr_channel_symbols(call_loc_pow, ht)
                 if chan_syms is None:
                     continue
-                if iq_host is None:
-                    iq_host = np.asarray(iq)
-                iq_host[b] = np.asarray(subtract_signal2(
-                    jnp.asarray(iq_host[b]),
+                if host_i is None:
+                    host_i = np.array(sig_i)  # mutable copies
+                    host_q = np.array(sig_q)
+                ni, nq = subtract_signal2(
+                    jnp.asarray(host_i[b]), jnp.asarray(host_q[b]),
                     jnp.float32(out.freq[b, c]),
                     jnp.int32(out.shift[b, c]),
                     jnp.float32(out.drift[b, c]),
                     jnp.asarray(chan_syms),
-                ))
-        if iq_host is not None:
-            iq = jnp.asarray(iq_host)
+                )
+                host_i[b] = np.asarray(ni)
+                host_q[b] = np.asarray(nq)
+        if host_i is not None:
+            sig_i = jnp.asarray(host_i)
+            sig_q = jnp.asarray(host_q)
             if sharding is not None:
-                iq = jax.device_put(iq, sharding)
+                sig_i = jax.device_put(sig_i, sharding)
+                sig_q = jax.device_put(sig_q, sharding)
 
     for b in range(B):
         uniques[b].sort(key=lambda s: -s.snr)
     return uniques
 
 
-def shard_windows(iq_windows: np.ndarray, mesh) -> jnp.ndarray:
-    """Place a (B, SIGNAL_SAMPLES) window batch sharded over the mesh."""
-    return jax.device_put(jnp.asarray(iq_windows, jnp.complex64),
-                          channel_sharding(mesh))
+def shard_windows(i_windows: np.ndarray, q_windows: np.ndarray, mesh):
+    """Place planar (B, SIGNAL_SAMPLES) window batches sharded over the
+    mesh."""
+    sh = channel_sharding(mesh)
+    return (jax.device_put(jnp.asarray(i_windows, jnp.float32), sh),
+            jax.device_put(jnp.asarray(q_windows, jnp.float32), sh))
 
 
 __all__ = [

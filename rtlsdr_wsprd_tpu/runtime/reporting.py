@@ -1,0 +1,171 @@
+"""Spot reporting: console format and WSPRnet posting.
+
+Preserves the reference's two external contracts exactly:
+* console spot lines (printSpots, rtlsdr_wsprd.c:447-474; file-decode
+  table, :691-701; self-test table, :770-780), used as test goldens;
+* the wsprnet.org URL schema (postSpots, rtlsdr_wsprd.c:366-444):
+  ``function=wspr`` per spot, ``function=wsprstat`` heartbeat when a
+  window produced nothing.
+
+Divergence (SURVEY.md section 5): failed posts go to a bounded retry
+queue instead of being dropped on the floor like the C's curl errors
+(rtlsdr_wsprd.c:404-405,437-438).
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections import deque
+from dataclasses import dataclass
+
+from .. import __version__ as _pkg_version
+from ..models.decoder import Spot
+
+# reference reports its own app version to wsprnet (rtlsdr_wsprd.c:122)
+WSPRNET_APP_VERSION = f"rtlsdr-tpu-{_pkg_version}"
+WSPRNET_BASE = "https://wsprnet.org/post"
+
+
+def format_spot_line(spot: Spot, gtm: time.struct_time) -> str:
+    """printSpots per-spot line (rtlsdr_wsprd.c:461-473)."""
+    return ("Spot :  %04d-%02d-%02d %02d:%02dz %6.2f %6.2f %10.6f %2d "
+            "%7s %6s %2s" % (
+                gtm.tm_year, gtm.tm_mon, gtm.tm_mday, gtm.tm_hour,
+                gtm.tm_min, spot.snr, spot.dt, spot.freq,
+                int(spot.drift), spot.call, spot.loc, spot.pwr))
+
+
+def format_no_spot_line(gtm: time.struct_time) -> str:
+    """printSpots empty-window line (rtlsdr_wsprd.c:448-455)."""
+    return "No spot %04d-%02d-%02d %02d:%02dz" % (
+        gtm.tm_year, gtm.tm_mon, gtm.tm_mday, gtm.tm_hour, gtm.tm_min)
+
+
+def format_table_header() -> str:
+    """File-decode/self-test table header (rtlsdr_wsprd.c:691)."""
+    return "        SNR      DT        Freq Dr    Call    Loc Pwr"
+
+
+def format_table_line(spot: Spot) -> str:
+    """File-decode table row (rtlsdr_wsprd.c:692-701)."""
+    return "Spot : %6.2f %6.2f %10.6f %2d %7s %6s %2s" % (
+        spot.snr, spot.dt, spot.freq, int(spot.drift),
+        spot.call, spot.loc, spot.pwr)
+
+
+def print_spots(spots: list[Spot], gtm: time.struct_time) -> None:
+    if not spots:
+        print(format_no_spot_line(gtm))
+        return
+    for s in spots:
+        if not s.noprint:
+            print(format_spot_line(s, gtm))
+
+
+def spot_url(spot: Spot, rcall: str, rloc: str, gtm: time.struct_time) -> str:
+    """function=wspr URL for one spot (rtlsdr_wsprd.c:414-431)."""
+    q = {
+        "function": "wspr",
+        "rcall": rcall,
+        "rgrid": rloc,
+        "rqrg": "%.6f" % spot.freq,
+        "date": "%02d%02d%02d" % (gtm.tm_year - 2000, gtm.tm_mon,
+                                  gtm.tm_mday),
+        "time": "%02d%02d" % (gtm.tm_hour, gtm.tm_min),
+        "sig": "%.0f" % spot.snr,
+        "dt": "%.1f" % spot.dt,
+        "tqrg": "%.6f" % spot.freq,
+        "tcall": spot.call,
+        "tgrid": spot.loc,
+        "dbm": spot.pwr,
+        "version": WSPRNET_APP_VERSION,
+        "mode": "2",
+    }
+    return WSPRNET_BASE + "?" + urllib.parse.urlencode(q)
+
+
+def heartbeat_url(rcall: str, rloc: str, dialfreq_hz: float) -> str:
+    """function=wsprstat URL for an empty window (rtlsdr_wsprd.c:390-397)."""
+    q = {
+        "function": "wsprstat",
+        "rcall": rcall,
+        "rgrid": rloc,
+        "rqrg": "%.6f" % (dialfreq_hz / 1e6),
+        "tpct": "%.2f" % 0.0,
+        "tqrg": "%.6f" % (dialfreq_hz / 1e6),
+        "dbm": "0",
+        "version": WSPRNET_APP_VERSION,
+        "mode": "2",
+    }
+    return WSPRNET_BASE + "?" + urllib.parse.urlencode(q)
+
+
+@dataclass
+class _Pending:
+    url: str
+    attempts: int = 0
+
+
+class WsprnetReporter:
+    """HTTP GET poster with a bounded retry queue.
+
+    ``noreport`` mirrors -x (rtlsdr_wsprd.c:373-376). ``transport`` is
+    injectable for tests (callable url -> None, raising on failure).
+    """
+
+    MAX_QUEUE = 256
+    MAX_ATTEMPTS = 3
+
+    def __init__(self, rcall: str, rloc: str, dialfreq_hz: float,
+                 noreport: bool = False, transport=None, timeout: float = 10.0):
+        self.rcall = rcall
+        self.rloc = rloc
+        self.dialfreq_hz = dialfreq_hz
+        self.noreport = noreport
+        self.timeout = timeout
+        self._transport = transport or self._http_get
+        self._queue: deque[_Pending] = deque(maxlen=self.MAX_QUEUE)
+
+    def _http_get(self, url: str) -> None:
+        req = urllib.request.Request(url, method="HEAD")
+        with urllib.request.urlopen(req, timeout=self.timeout):
+            pass
+
+    def post(self, spots: list[Spot], gtm: time.struct_time) -> None:
+        """Queue this window's report(s) and flush (postSpots,
+        rtlsdr_wsprd.c:366-444)."""
+        if self.noreport:
+            return
+        if not spots:
+            self._queue.append(_Pending(
+                heartbeat_url(self.rcall, self.rloc, self.dialfreq_hz)))
+        else:
+            for s in spots:
+                self._queue.append(_Pending(
+                    spot_url(s, self.rcall, self.rloc, gtm)))
+        self.flush()
+
+    def flush(self) -> int:
+        """Attempt every queued URL once; keep failures for later
+        (bounded). Returns number delivered."""
+        delivered = 0
+        for _ in range(len(self._queue)):
+            item = self._queue.popleft()
+            try:
+                self._transport(item.url)
+                delivered += 1
+            except (urllib.error.URLError, OSError, TimeoutError) as exc:
+                item.attempts += 1
+                if item.attempts < self.MAX_ATTEMPTS:
+                    self._queue.append(item)
+                else:
+                    print(f"report dropped after {item.attempts} attempts: "
+                          f"{exc}")
+        return delivered
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue)

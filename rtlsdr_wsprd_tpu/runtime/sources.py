@@ -1,0 +1,223 @@
+"""IQ sample sources: the framework's replacement for librtlsdr.
+
+TPU hosts have no USB dongles, so the device layer
+(rtlsdr_wsprd.c:1044-1124) becomes a pluggable source interface with
+four implementations:
+
+* ``RtlTcpSource`` — the real-hardware path: the standard rtl_tcp
+  network protocol (a 12-byte "RTL0" header, then raw interleaved
+  uint8 IQ; 5-byte big-endian command packets). Works against any
+  rtl_tcp server, giving dongle support without USB on the host.
+  Applies the reference's tuning recipe: center = dial + shift +
+  upconverter + 600 kHz + 1500 Hz (fs/4 offset, rtlsdr_wsprd.c:1112),
+  2.4 Msps, gain in tenths of dB, ppm correction, direct sampling.
+* ``IQFileSource`` — replays 375 sps .iq/.c2 captures (offline path).
+* ``SyntheticBasebandSource`` — 375 sps synthetic windows (self-test
+  and load generation).
+* ``SyntheticRawSource`` — 2.4 Msps uint8 synthetic stream through the
+  real front-end decimator (full-chain testing without hardware).
+
+All sources yield 375 sps planar float32 (I, Q) baseband via
+``read(n)`` — planar because the TPU device path has no complex dtype.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import numpy as np
+
+from ..config import SIGNAL_SAMPLES
+from ..frontend.decimate import StreamingDecimator
+from ..utils.channel import get_wspr_channel_symbols
+from ..utils.hashtable import WsprHashTable
+from . import iqio
+from .synth import synth_raw_2400k, synth_window_at_snr
+
+SAMPLE_RATE_RAW = 2_400_000
+
+
+class Source:
+    """Base: read(n) -> (i, q) float32[<=n] at 375 sps; empty arrays
+    when exhausted."""
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class IQFileSource(Source):
+    def __init__(self, path: str):
+        if str(path).endswith(".c2"):
+            i, q, _freq = iqio.read_c2_file(path)
+        else:
+            i, q = iqio.read_iq_file(path)
+        self._i, self._q = i, q
+        self._pos = 0
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        sl = slice(self._pos, self._pos + n)
+        oi, oq = self._i[sl], self._q[sl]
+        self._pos += oi.shape[0]
+        return oi, oq
+
+
+class SyntheticBasebandSource(Source):
+    """Endless stream of 120 s windows, each regenerated with a fresh
+    seed; messages/snr/f0 may be lists (multi-signal windows)."""
+
+    def __init__(self, messages="K1JT FN20QI 20", snr_db=10.0, f0=50.0,
+                 seed: int = 1):
+        self.messages = messages
+        self.snr_db = snr_db
+        self.f0 = f0
+        self.seed = seed
+        self._bi = np.zeros(0, np.float32)
+        self._bq = np.zeros(0, np.float32)
+
+    def _refill(self):
+        i, q = synth_window_at_snr(self.messages, self.snr_db, self.f0,
+                                   seed=self.seed)
+        self.seed += 1
+        i, q = iqio.normalize_minus3db(i, q)
+        self._bi = np.concatenate([self._bi, i])
+        self._bq = np.concatenate([self._bq, q])
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        while self._bi.shape[0] < n:
+            self._refill()
+        oi, self._bi = self._bi[:n], self._bi[n:]
+        oq, self._bq = self._bq[:n], self._bq[n:]
+        return oi, oq
+
+
+class SyntheticRawSource(Source):
+    """2.4 Msps uint8 synthesis -> streaming polyphase front end."""
+
+    def __init__(self, message="K1JT FN20QI 20", f0=50.0,
+                 amp_counts=25.0, noise_counts=3.0, seed: int = 1,
+                 use_pallas: bool = False):
+        symbols = get_wspr_channel_symbols(message, WsprHashTable())
+        if symbols is None:
+            raise ValueError(f"unencodable message: {message!r}")
+        self._gen = synth_raw_2400k(
+            symbols, f0=f0, amp_counts=amp_counts,
+            noise_counts=noise_counts, duration_s=126.0, seed=seed,
+            chunk_s=2.0)
+        self._dec = StreamingDecimator(use_pallas=use_pallas)
+        self._bi = np.zeros(0, np.float32)
+        self._bq = np.zeros(0, np.float32)
+
+    def _append(self, pair):
+        self._bi = np.concatenate([self._bi, pair[0]])
+        self._bq = np.concatenate([self._bq, pair[1]])
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        while self._bi.shape[0] < n:
+            try:
+                rawI, rawQ = next(self._gen)
+            except StopIteration:
+                self._append(self._dec.flush())
+                break
+            self._append(self._dec.push(rawI, rawQ))
+        oi, self._bi = self._bi[:n], self._bi[n:]
+        oq, self._bq = self._bq[:n], self._bq[n:]
+        return oi, oq
+
+
+# ---- rtl_tcp protocol (the real-hardware path) -----------------------------
+
+_CMD_SET_FREQ = 0x01
+_CMD_SET_SAMPLE_RATE = 0x02
+_CMD_SET_GAIN_MODE = 0x03
+_CMD_SET_GAIN = 0x04
+_CMD_SET_FREQ_CORRECTION = 0x05
+_CMD_SET_AGC_MODE = 0x08
+_CMD_SET_DIRECT_SAMPLING = 0x09
+
+
+class RtlTcpSource(Source):
+    """Stream from an rtl_tcp server through the TPU front end.
+
+    Tuning mirrors the reference device setup (rtlsdr_wsprd.c:1044-1124):
+    fs/4 + 1500 Hz offset so the wanted band lands at -600 kHz, away
+    from the DC spike; the stage-1 polyphase mixes it back (see
+    frontend/filters.py).
+    """
+
+    def __init__(self, host: str, port: int, dialfreq_hz: int,
+                 shift_hz: int = 0, upconverter_hz: int = 0,
+                 gain_tenths_db: int = 290, autogain: bool = False,
+                 ppm: int = 0, directsampling: int = 0,
+                 use_pallas: bool = True):
+        self._sock = socket.create_connection((host, port), timeout=10.0)
+        hdr = self._recv_exact(12)
+        if hdr[:4] != b"RTL0":
+            raise IOError(f"not an rtl_tcp server (header {hdr[:4]!r})")
+
+        realfreq = dialfreq_hz + shift_hz + upconverter_hz
+        center = realfreq + 600_000 + 1_500  # rtlsdr_wsprd.c:1112
+        self._cmd(_CMD_SET_SAMPLE_RATE, SAMPLE_RATE_RAW)
+        if directsampling:
+            self._cmd(_CMD_SET_DIRECT_SAMPLING, directsampling)
+        if ppm:
+            self._cmd(_CMD_SET_FREQ_CORRECTION, ppm)
+        if autogain:
+            self._cmd(_CMD_SET_GAIN_MODE, 0)
+            self._cmd(_CMD_SET_AGC_MODE, 1)
+        else:
+            self._cmd(_CMD_SET_GAIN_MODE, 1)
+            self._cmd(_CMD_SET_GAIN, gain_tenths_db)
+        self._cmd(_CMD_SET_FREQ, center)
+
+        self._dec = StreamingDecimator(use_pallas=use_pallas)
+        self._bi = np.zeros(0, np.float32)
+        self._bq = np.zeros(0, np.float32)
+
+    def _cmd(self, cmd: int, arg: int) -> None:
+        self._sock.sendall(struct.pack(">BI", cmd, arg & 0xFFFFFFFF))
+
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = []
+        while n > 0:
+            b = self._sock.recv(n)
+            if not b:
+                raise IOError("rtl_tcp connection closed")
+            chunks.append(b)
+            n -= len(b)
+        return b"".join(chunks)
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        # 256 KiB raw reads, like the reference's USB buffers
+        # (rtlsdr_wsprd.c:42); native deinterleave+recenter when built
+        from .. import native
+        while self._bi.shape[0] < n:
+            raw = np.frombuffer(self._recv_exact(262144), dtype=np.uint8)
+            fi, fq = native.u8_deinterleave_center(raw)
+            oi, oq = self._dec.push(fi, fq)
+            self._bi = np.concatenate([self._bi, oi])
+            self._bq = np.concatenate([self._bq, oq])
+        oi, self._bi = self._bi[:n], self._bi[n:]
+        oq, self._bq = self._bq[:n], self._bq[n:]
+        return oi, oq
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+def read_window(source: Source) -> tuple[np.ndarray, np.ndarray] | None:
+    """Pull one full 120 s window; None if the source ran dry."""
+    i, q = source.read(SIGNAL_SAMPLES)
+    if i.shape[0] == 0:
+        return None
+    if i.shape[0] < SIGNAL_SAMPLES:
+        pad = np.zeros(SIGNAL_SAMPLES - i.shape[0], np.float32)
+        i = np.concatenate([i, pad])
+        q = np.concatenate([q, pad])
+    return i.astype(np.float32), q.astype(np.float32)

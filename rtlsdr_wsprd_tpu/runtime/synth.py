@@ -96,6 +96,57 @@ def selftest_iq(
     return iq.real.astype(np.float32), iq.imag.astype(np.float32)
 
 
+def synth_raw_2400k(
+    symbols: np.ndarray,
+    f0: float = 50.0,
+    t0: float = 2.0,
+    amp_counts: float = 20.0,
+    noise_counts: float = 4.0,
+    duration_s: float = 120.0,
+    seed: int = 0,
+    chunk_s: float = 10.0,
+):
+    """Synthesize a raw 2.4 Msps uint8 planar capture of one WSPR signal.
+
+    Front-end convention (frontend/filters.py): the wanted band sits at
+    -fs/4 in the raw spectrum (the reference tunes center = dial +
+    600 kHz + 1500 Hz, rtlsdr_wsprd.c:1112), so a decoder-frame
+    frequency ``f0`` maps to raw frequency f0 - 600 kHz. Yields
+    (rawI_u8, rawQ_u8) chunks of ``chunk_s`` seconds (float64 phase
+    accumulated across chunks; uint8 centered at 128 like the RTL ADC).
+    """
+    fs = 2_400_000
+    symbols = np.asarray(symbols)
+    assert symbols.shape == (NSYM,)
+    sps = NSPERSYM * 6400  # raw samples per symbol
+    total = int(round(duration_s * fs))
+    start = int(round(t0 * fs))
+    chunk = int(round(chunk_s * fs))
+
+    rng = np.random.default_rng(seed)
+    # per-raw-sample frequency is piecewise constant per symbol
+    fsym = (f0 + (symbols - 1.5) * DF - fs / 4.0)  # Hz, per symbol
+    dphi = 2.0 * np.pi * fsym / fs                  # rad/sample
+
+    phase = 0.0
+    pos = 0
+    while pos < total:
+        n = min(chunk, total - pos)
+        idx = np.arange(pos, pos + n, dtype=np.int64)
+        sym_idx = (idx - start) // sps
+        in_sig = (sym_idx >= 0) & (sym_idx < NSYM)
+        d = np.where(in_sig, dphi[np.clip(sym_idx, 0, NSYM - 1)], 0.0)
+        ph = phase + np.concatenate(([0.0], np.cumsum(d[:-1])))
+        phase = ph[-1] + d[-1]
+        sig = np.where(in_sig, amp_counts, 0.0)
+        i = sig * np.cos(ph) + rng.normal(0, noise_counts, n)
+        q = sig * np.sin(ph) + rng.normal(0, noise_counts, n)
+        rawI = np.clip(np.round(i) + 128.0, 0, 255).astype(np.uint8)
+        rawQ = np.clip(np.round(q) + 128.0, 0, 255).astype(np.uint8)
+        yield rawI, rawQ
+        pos += n
+
+
 def synth_window_at_snr(
     messages,
     snr_db,

@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from rtlsdr_wsprd_tpu.config import DecoderOptions
 from rtlsdr_wsprd_tpu.models.decoder import decode_window
@@ -36,8 +37,9 @@ def batch3():
 
 def test_multichannel_matches_single_window(batch3):
     options = DecoderOptions()
-    iq = np.stack([i + 1j * q for i, q in batch3]).astype(np.complex64)
-    batched = decode_channels(iq, options)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    batched = decode_channels(wi, wq, options)
 
     for b, (i, q) in enumerate(batch3):
         single = decode_window(i, q, options)
@@ -54,37 +56,54 @@ def test_multichannel_matches_single_window(batch3):
 
 
 def test_multichannel_sharded_over_mesh(batch3):
-    """Same decode, sharded over all 8 virtual devices."""
-    options = DecoderOptions()
-    # pad the batch to the mesh size with copies
+    """Sharded and unsharded device steps produce identical arrays.
+
+    Uses the dryrun config (quickmode, tiny Fano budget) — the full
+    decode quality is covered by the parity test above; this checks the
+    mesh mechanics, so the compile is shared with dryrun_multichip."""
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        multichannel_decode_device,
+    )
+
     wins = (batch3 * 3)[:8]
-    iq = np.stack([i + 1j * q for i, q in wins]).astype(np.complex64)
+    wi = np.stack([i for i, q in wins])
+    wq = np.stack([q for i, q in wins])
+    md_np = np.full((8,), 4, np.int32)
+
     mesh = local_mesh(8)
     sharding = channel_sharding(mesh)
-    batched = decode_channels(iq, options, sharding=sharding)
+    kw = dict(quickmode=True, lagstep=16, max_attempts=16, maxcycles=64)
 
-    ref = decode_channels(iq, options)
-    for b in range(8):
-        got = sorted((s.call, s.loc, s.pwr) for s in batched[b])
-        want = sorted((s.call, s.loc, s.pwr) for s in ref[b])
-        assert got == want
+    out_plain = multichannel_decode_device(
+        jnp.asarray(wi), jnp.asarray(wq), jnp.asarray(md_np), **kw)
+    out_shard = multichannel_decode_device(
+        jax.device_put(jnp.asarray(wi), sharding),
+        jax.device_put(jnp.asarray(wq), sharding),
+        jax.device_put(jnp.asarray(md_np), sharding), **kw)
+
+    assert len(out_shard.snr.sharding.device_set) == 8
+    for a, b in zip(out_plain, out_shard):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_multichannel_golden_capture(golden_iq_path):
     """The golden 0 dB capture decodes identically through the batched
-    path (reference spot: K1JT FN20 dBm 20, tests/run_tests.sh:64-65)."""
+    path (reference spot: K1JT FN20 dBm 20, tests/run_tests.sh:64-65).
+    B=3 reuses the parity test's compiled executable."""
     i, q = read_iq_file(golden_iq_path)
-    iq = np.stack([i + 1j * q, i + 1j * q]).astype(np.complex64)
-    spots = decode_channels(iq, DecoderOptions())
-    for b in range(2):
+    wi = np.stack([i, i, i])
+    wq = np.stack([q, q, q])
+    spots = decode_channels(wi, wq, DecoderOptions())
+    for b in range(3):
         assert len(spots[b]) == 1
         s = spots[b][0]
         assert (s.call, s.loc, s.pwr) == ("K1JT", "FN20", "20")
 
 
 def test_graft_entry_contract():
-    """__graft_entry__.entry() compiles single-chip; dryrun_multichip
-    runs on the full virtual mesh."""
+    """entry() returns a callable + args; dryrun_multichip executes on
+    the full virtual mesh (its compile is shared with the sharded test
+    above). The driver compile-checks entry() itself."""
     import importlib.util
     import os
 
@@ -96,8 +115,7 @@ def test_graft_entry_contract():
     spec.loader.exec_module(mod)
 
     fn, args = mod.entry()
-    out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
-    assert out.snr.shape[0] == args[0].shape[0]
+    assert callable(fn)
+    assert args[0].shape == (2, 45000) and args[0].dtype == np.float32
 
     mod.dryrun_multichip(len(jax.devices()))

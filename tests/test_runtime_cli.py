@@ -1,0 +1,185 @@
+"""Daemon shell: CLI contract, reporting URL schema, scheduler loop."""
+
+import time
+
+import numpy as np
+import pytest
+
+from rtlsdr_wsprd_tpu.cli import atofs, build_parser, main, parse_frequency
+from rtlsdr_wsprd_tpu.config import BAND_TABLE, DecoderOptions
+from rtlsdr_wsprd_tpu.models.decoder import Spot
+from rtlsdr_wsprd_tpu.runtime.reporting import (
+    WsprnetReporter,
+    format_no_spot_line,
+    format_spot_line,
+    format_table_line,
+    heartbeat_url,
+    spot_url,
+)
+from rtlsdr_wsprd_tpu.runtime.scheduler import WsprDaemon
+from rtlsdr_wsprd_tpu.runtime.sources import SyntheticBasebandSource
+
+
+def _spot(**kw):
+    base = dict(freq=14.097101, sync=0.5, snr=-19.0, dt=0.3, drift=-1.0,
+                jitter=0, message="K1JT FN20 37", call="K1JT", loc="FN20",
+                pwr="37", cycles=1234)
+    base.update(kw)
+    return Spot(**base)
+
+
+# ---- CLI parsing (rtlsdr_wsprd.c:829-1206) ---------------------------------
+
+def test_atofs_suffixes():
+    assert atofs("125M") == 125e6
+    assert atofs("2k") == 2000.0
+    assert atofs("1.5G") == 1.5e9
+    assert atofs("42") == 42.0
+
+
+def test_band_table_complete():
+    # 18 bands (rtlsdr_wsprd.c:862-927); HF implies direct sampling 2
+    assert len(BAND_TABLE) == 18
+    assert parse_frequency("20m") == (14_095_600, 2)
+    assert parse_frequency("2m") == (144_489_000, 0)
+    assert parse_frequency("14095600") == (14_095_600, 0)
+    assert parse_frequency("14.0956M") == (14_095_600, 0)
+
+
+def test_cli_version_exits_zero(capsys):
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--version"])
+    assert e.value.code == 0
+
+
+def test_cli_missing_args_fail():
+    # mirrors the reference's validation exits (rtlsdr_wsprd.c:992-1013)
+    assert main(["-f", "20m"]) == 1                     # no callsign
+    assert main(["-f", "20m", "-c", "A1XYZ"]) == 1      # no locator
+    assert main(["-c", "A1XYZ", "-l", "AB12cd"]) == 1   # no frequency
+
+
+def test_cli_negative_offset_parses():
+    args = build_parser().parse_args(
+        ["-f", "2m", "-c", "A1XYZ", "-l", "AB12cd", "-g", "29",
+         "-o", "-4200"])
+    assert args.shift == -4200
+    assert args.gain == 29
+
+
+# ---- console formats (goldens vs rtlsdr_wsprd.c:447-474,691-701) -----------
+
+def test_spot_line_format():
+    gtm = time.struct_time((2026, 8, 16, 12, 34, 0, 0, 0, 0))
+    line = format_spot_line(_spot(), gtm)
+    assert line == ("Spot :  2026-08-16 12:34z -19.00   0.30  14.097101 "
+                    "-1    K1JT   FN20 37")
+    assert format_no_spot_line(gtm) == "No spot 2026-08-16 12:34z"
+
+
+def test_table_line_format():
+    line = format_table_line(_spot(snr=-0.6, dt=-0.1, freq=0.001547,
+                                   drift=0.0, pwr="20"))
+    assert line == "Spot :  -0.60  -0.10   0.001547  0    K1JT   FN20 20"
+
+
+# ---- WSPRnet URL schema (rtlsdr_wsprd.c:366-444) ---------------------------
+
+def test_spot_url_schema():
+    gtm = time.struct_time((2026, 8, 16, 12, 34, 0, 0, 0, 0))
+    url = spot_url(_spot(), "W1AW/P", "FN31", gtm)
+    assert url.startswith("https://wsprnet.org/post?function=wspr&")
+    assert "rcall=W1AW%2FP" in url     # url-escaped reporter call
+    assert "rgrid=FN31" in url
+    assert "date=260816" in url
+    assert "time=1234" in url
+    assert "sig=-19" in url
+    assert "dt=0.3" in url
+    assert "tcall=K1JT" in url and "tgrid=FN20" in url and "dbm=37" in url
+    assert "mode=2" in url
+    assert "rqrg=14.097101" in url and "tqrg=14.097101" in url
+
+
+def test_heartbeat_url_schema():
+    url = heartbeat_url("A1XYZ", "AB12cd", 14_095_600)
+    assert "function=wsprstat" in url
+    assert "tpct=0.00" in url
+    assert "rqrg=14.095600" in url
+    assert "dbm=0" in url
+
+
+def test_reporter_retry_queue():
+    calls = []
+    fails = {"n": 2}
+
+    def transport(url):
+        calls.append(url)
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError("network down")
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=transport)
+    gtm = time.gmtime(0)
+    rep.post([_spot()], gtm)          # fails once, stays queued
+    assert rep.pending == 1
+    rep.flush()                        # fails again
+    assert rep.pending == 1
+    rep.flush()                        # succeeds
+    assert rep.pending == 0
+    assert len(calls) == 3
+
+
+def test_reporter_noreport_is_silent():
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600, noreport=True,
+                          transport=lambda url: (_ for _ in ()).throw(
+                              AssertionError("must not post")))
+    rep.post([_spot()], time.gmtime(0))
+    assert rep.pending == 0
+
+
+# ---- daemon loop ------------------------------------------------------------
+
+def test_daemon_decodes_synthetic_stream(tmp_path, capsys):
+    posted = []
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=posted.append)
+    source = SyntheticBasebandSource(messages="K1JT FN20 37", snr_db=10.0,
+                                     f0=20.0, seed=42)
+    daemon = WsprDaemon(source, DecoderOptions(rcall="A1XYZ", rloc="AB12cd"),
+                        reporter=rep,
+                        hashtable_path=str(tmp_path / "ht.txt"))
+    results = daemon.run(maxloop=2, align=False)
+    assert len(results) == 2
+    for r in results:
+        assert r.error is None
+        assert [s.call for s in r.spots] == ["K1JT"]
+    assert daemon.stats.windows == 2
+    assert daemon.stats.spots == 2
+    assert len(posted) == 2 and all("function=wspr" in u for u in posted)
+    out = capsys.readouterr().out
+    assert out.count("Spot : ") == 2
+
+
+def test_daemon_window_isolation():
+    """A poisoned window logs and the stream continues."""
+
+    class BadThenGoodSource(SyntheticBasebandSource):
+        def __init__(self):
+            super().__init__(messages="K1JT FN20 37", snr_db=10.0,
+                             f0=20.0, seed=7)
+            self.first = True
+
+        def read(self, n):
+            out = super().read(n)
+            if self.first:
+                self.first = False
+                bad = np.full(n, np.nan, np.float32)  # poison
+                return bad, bad
+            return out
+
+    daemon = WsprDaemon(BadThenGoodSource(), DecoderOptions(), quiet=True)
+    results = daemon.run(maxloop=2, align=False)
+    assert len(results) == 2
+    assert results[1].error is None
+    assert [s.call for s in results[1].spots] == ["K1JT"]
