@@ -15,12 +15,12 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
-import os
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/rtlsdr_wsprd_tpu/jax"))
+# NB: do NOT enable the persistent JAX compilation cache here — on
+# tunneled TPU backends, deserializing cached executables crashes the
+# worker process (observed: reproducible UNAVAILABLE crashes with the
+# cache on, never without it).
 
 import numpy as np
 
@@ -60,18 +60,20 @@ def main() -> None:
     from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
 
     B = 32
+    DB = 16  # per-device-call sub-batch (HBM-bound; 16 fits with margin)
     wi, wq = make_batch(B)
     options = DecoderOptions()
 
-    # warmup (compile)
-    spots = decode_channels(wi, wq, options)
+    # warmup (compile) x2: second run warms the straggler thread pool
+    spots = decode_channels(wi, wq, options, device_batch=DB)
     n_spots = sum(len(s) for s in spots)
+    decode_channels(wi, wq, options, device_batch=DB)
 
     # steady state
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        spots = decode_channels(wi, wq, options)
+        spots = decode_channels(wi, wq, options, device_batch=DB)
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 

@@ -15,15 +15,13 @@ Modes, in the reference's precedence order (rtlsdr_wsprd.c:1015-1029):
 from __future__ import annotations
 
 import argparse
-import os
+import signal
 import sys
 import time
 
-# persistent jit cache (must be set before jax import; harmless if jax
-# is already up — the flag is also read lazily by newer jax)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/rtlsdr_wsprd_tpu/jax"))
+# NB: the persistent JAX compilation cache is deliberately NOT enabled
+# here — deserializing cached executables crashes tunneled TPU workers
+# (tests enable it for the CPU backend only, tests/conftest.py).
 
 import numpy as np
 
@@ -262,10 +260,19 @@ def main(argv: list[str] | None = None) -> int:
     if align:
         wait = 120.0 - (time.time() % 120.0)
         print(f"Wait for time sync (start in {int(wait)} sec)\n")
+
+    # graceful shutdown on SIGTERM too (the reference traps INT/TERM/
+    # ILL/FPE/SEGV, rtlsdr_wsprd.c:1037-1042)
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         daemon.run(maxloop=rx.maxloop, align=align)
     except KeyboardInterrupt:
         print("Shutting down...")
+        if reporter is not None:
+            reporter.flush()
     finally:
         source.close()
     return 0

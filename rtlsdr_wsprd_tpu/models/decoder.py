@@ -44,10 +44,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DT, MAX_CANDIDATES, SIGNAL_SAMPLES, DecoderOptions
+from ..config import (
+    DT,
+    MAX_CANDIDATES,
+    MAX_UNIQUES,
+    SIGNAL_SAMPLES,
+    DecoderOptions,
+)
 from ..ops.candidates import find_candidates
 from ..ops.coarse import coarse_search
 from ..ops.fano import batched_fano, build_mettab
+from ..ops.fano_hybrid import (
+    DEVICE_MAXCYCLES,
+    host_finish,
+    pending_mask,
+)
 from ..ops.stft import power_spectrogram
 from ..ops.subtract import subtract_signal2
 from ..ops.sync import fine_sync, jitter_offsets, soft_symbols_jittered
@@ -176,11 +187,20 @@ def decode_window(
             batch = np.zeros((bucket, 162), dtype=np.uint8)
             for a, (c, j) in enumerate(attempts[:bucket]):
                 batch[a] = symbols[j, c]
+            # hybrid FEC: small device budget, host C++ finishes the
+            # stragglers bit-exactly (ops/fano_hybrid.py)
+            dev_mc = min(options.maxcycles, DEVICE_MAXCYCLES)
             res = _fano_batch(jnp.asarray(batch),
-                              delta=options.delta, maxcycles=options.maxcycles)
+                              delta=options.delta, maxcycles=dev_mc)
             success = np.asarray(res.success)
             data = np.asarray(res.data)
             cycles = np.asarray(res.cycles)
+            pend = pending_mask(success, cycles, dev_mc, options.maxcycles)
+            if pend.any():
+                deint_np = batch[:, np.asarray(INTERLEAVE_PERM)]
+                success, data, cycles = host_finish(
+                    deint_np, success, data, cycles, pend,
+                    options.delta, options.maxcycles)
             for a, (c, j) in enumerate(attempts[:bucket]):
                 if success[a] and c not in decoded:
                     decoded[c] = (j, bytes(data[a]), int(cycles[a]))
@@ -203,6 +223,8 @@ def decode_window(
             )
             if dupe:
                 continue
+            if len(uniques) >= MAX_UNIQUES:
+                break  # result buffer bound (wsprd/wsprd.h:41)
             seen.append((msg.callsign, float(freq_fine[c])))
             dialfreq_mhz = options.freq / 1e6
             spot = Spot(

@@ -107,6 +107,45 @@ def fano_decode(symbols: np.ndarray, mettab: np.ndarray,
     return bool(ok), data, int(cycles.value), int(metric.value)
 
 
+def fano_decode_many(symbols: np.ndarray, mettab: np.ndarray,
+                     delta: int = 60, maxcycles: int = 10000,
+                     threads: int = 16):
+    """Sequential host Fano over a batch (threaded; the ctypes call
+    releases the GIL). symbols: uint8[N, 162] deinterleaved.
+
+    Returns (success bool[N], data uint8[N, 11], cycles uint32[N],
+    metric int32[N]). Used as the straggler path of the hybrid FEC
+    decode: lanes whose search outruns the device budget are re-run
+    here from scratch — Fano is deterministic, so results equal a
+    full-budget run bit for bit (semantics of wsprd/fano.c).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = symbols.shape[0]
+    success = np.zeros(n, bool)
+    data = np.zeros((n, 11), np.uint8)
+    cycles = np.zeros(n, np.uint32)
+    metric = np.zeros(n, np.int32)
+    if n == 0:
+        return success, data, cycles, metric
+    mettab = np.ascontiguousarray(mettab, np.int32)
+
+    def run(k):
+        ok, d, c, m = fano_decode(symbols[k], mettab, delta, maxcycles)
+        success[k] = ok
+        data[k] = d
+        cycles[k] = c
+        metric[k] = m
+
+    if n == 1 or threads <= 1:
+        for k in range(n):
+            run(k)
+    else:
+        with ThreadPoolExecutor(max_workers=min(threads, n)) as ex:
+            list(ex.map(run, range(n)))
+    return success, data, cycles, metric
+
+
 def conv_encode(data: np.ndarray, nsym: int = 162) -> np.ndarray:
     lib = _load()
     data = np.ascontiguousarray(data, np.uint8)

@@ -87,13 +87,14 @@ def _take_at(arr: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(arr, pos[:, None], axis=1)[:, 0]
 
 
-@partial(jax.jit, static_argnames=("delta", "maxcycles"))
+@partial(jax.jit, static_argnames=("delta", "maxcycles", "unroll"))
 def batched_fano(
     symbols: jnp.ndarray,
     mettab: jnp.ndarray,
     delta: int = 60,
     maxcycles: int = 10000,
     valid: jnp.ndarray | None = None,
+    unroll: int | None = None,
 ) -> FanoResult:
     """Decode B deinterleaved soft-symbol streams at once.
 
@@ -102,7 +103,23 @@ def batched_fano(
     wsprd/fano.c:149). ``valid`` (bool[B], optional) marks live lanes;
     padding lanes start done (success=False, zero cycles) so they cost
     no iterations of the batched search.
+
+    Performance shape: the C's nested control flow (forward loop with a
+    complete backtrack walk inside each cycle, wsprd/fano.c:153-220) is
+    FLATTENED into a single-level state machine — each flat step is
+    either one forward-look or one backtrack step, selected per lane by
+    a ``back`` flag — and ``unroll`` flat steps run per while_loop
+    iteration. This keeps every op a fused (B,)-/(B,82)-shaped vector
+    op with no nested while (nested loops cost a device sync per inner
+    iteration), which is what makes 810k-cycle timeout lanes affordable.
+    Cycle accounting is unchanged: ``i`` increments only on
+    forward-look steps, exactly one per C loop iteration.
     """
+    if unroll is None:
+        # big unroll pays off where while_loop iterations are expensive
+        # (RPC-per-iteration tunnel backends); on CPU it only bloats
+        # compile time
+        unroll = 32 if jax.default_backend() == "tpu" else 2
     B = symbols.shape[0]
     max_total = jnp.uint32(maxcycles * NBITS)
     delta_i = jnp.int32(delta)
@@ -133,28 +150,26 @@ def batched_fano(
     cyc = jnp.zeros((B,), jnp.uint32)      # C's loop variable i (pre-increment)
     maxnp = jnp.zeros((B,), jnp.int32)
     done = jnp.zeros((B,), bool) if valid is None else ~valid
+    back = jnp.zeros((B,), bool)           # lane is inside the backtrack walk
     success = jnp.zeros((B,), bool)
     metric = jnp.zeros((B,), jnp.int32)
     cycles_out = jnp.zeros((B,), jnp.uint32)
 
-    node_ids = jnp.arange(N_NODES, dtype=jnp.int32)[None, :]
+    def step(state):
+        """One flat step: forward-look for lanes with back=False, one
+        backtrack move for lanes with back=True."""
+        (done, back, success, metric, cycles_out, gamma, encstate, tm0,
+         tm1, ii, pos, t, cyc, maxnp) = state
+        fwd_mode = ~done & ~back
+        i_now = cyc + 1  # the C cycle index if this forward-look runs
 
-    def cond(state):
-        return jnp.any(~state[0])
-
-    def body(state):
-        (done, success, metric, cycles_out, gamma, encstate, tm0, tm1, ii,
-         pos, t, cyc, maxnp) = state
-        active = ~done
-        i_now = cyc + 1  # C: for (i = 1; ...; i++)
-
-        maxnp = jnp.where(active & (pos > maxnp), pos, maxnp)
+        maxnp = jnp.where(fwd_mode & (pos > maxnp), pos, maxnp)
 
         g_p = _take_at(gamma, pos)
         i_p = _take_at(ii, pos)
         tm_p = jnp.where(i_p == 0, _take_at(tm0, pos), _take_at(tm1, pos))
         ngamma = g_p + tm_p
-        fwd = active & (ngamma >= t)
+        fwd = fwd_mode & (ngamma >= t)
 
         # ---- forward move (wsprd/fano.c:158-197) ----
         first_visit = g_p < t + delta_i
@@ -189,40 +204,36 @@ def batched_fano(
         ii = _onehot_set(ii, newpos, jnp.zeros_like(newpos), advancing)
         pos = jnp.where(fwd, newpos, pos)
 
-        # ---- backtrack walk (wsprd/fano.c:199-219) ----
-        back = active & ~fwd
+        # forward-look failed: enter the backtrack walk (same C cycle)
+        back = back | (fwd_mode & ~fwd & (ngamma < t))
 
-        def bcond(bstate):
-            return jnp.any(bstate[0])
+        # ---- one backtrack step (wsprd/fano.c:199-219) ----
+        walk = ~done & back & ~fwd_mode  # lanes already walking this step
+        g_prev = _take_at(gamma, jnp.maximum(pos - 1, 0))
+        relax = walk & ((pos == 0) | (g_prev < t))
+        t = jnp.where(relax, t - delta_i, t)
+        i_cur = _take_at(ii, pos)
+        flip = relax & (i_cur != 0)
+        ii = _onehot_set(ii, pos, jnp.zeros_like(pos), flip)
+        encstate = _onehot_set(
+            encstate, pos, _take_at(encstate, pos) ^ 1, flip)
+        back = back & ~relax  # relax exits the walk
 
-        def bbody(bstate):
-            walk, pos, t, encstate, ii = bstate
-            g_prev = _take_at(gamma, jnp.maximum(pos - 1, 0))
-            relax = walk & ((pos == 0) | (g_prev < t))
-            # relax threshold; reset branch choice (fano.c:201-211)
-            t = jnp.where(relax, t - delta_i, t)
-            i_cur = _take_at(ii, pos)
-            flip = relax & (i_cur != 0)
-            ii = _onehot_set(ii, pos, jnp.zeros_like(pos), flip)
-            encstate = _onehot_set(
-                encstate, pos, _take_at(encstate, pos) ^ 1, flip)
-            walk = walk & ~relax
-
-            # back up one node (fano.c:213-218)
-            pos = jnp.where(walk, pos - 1, pos)
-            i_b = _take_at(ii, pos)
-            can_try = walk & (pos < TAIL) & (i_b != 1)
-            ii = _onehot_set(ii, pos, i_b + 1, can_try)
-            encstate = _onehot_set(
-                encstate, pos, _take_at(encstate, pos) ^ 1, can_try)
-            walk = walk & ~can_try
-            return walk, pos, t, encstate, ii
-
-        back, pos, t, encstate, ii = jax.lax.while_loop(
-            bcond, bbody, (back, pos, t, encstate, ii))
+        stepping = walk & ~relax
+        pos = jnp.where(stepping, pos - 1, pos)
+        i_b = _take_at(ii, pos)
+        can_try = stepping & (pos < TAIL) & (i_b != 1)
+        ii = _onehot_set(ii, pos, i_b + 1, can_try)
+        encstate = _onehot_set(
+            encstate, pos, _take_at(encstate, pos) ^ 1, can_try)
+        back = back & ~can_try  # alternate branch found: walk ends
 
         # ---- bookkeeping: completion & timeout ----
-        timeout = active & ~finished & (i_now >= max_total)
+        cyc = jnp.where(fwd_mode, i_now, cyc)
+        # The C records the timeout state AFTER the final iteration's
+        # backtrack walk completes (wsprd/fano.c:149,222-231), so a
+        # lane times out only once it is back out of the walk.
+        timeout = ~done & ~back & ~finished & (cyc >= max_total)
         newly_done = finished | timeout
         metric = jnp.where(finished, ngamma,
                            jnp.where(timeout, _take_at(gamma, pos), metric))
@@ -233,14 +244,21 @@ def batched_fano(
         # success requires i < maxcycles at exit (wsprd/fano.c:234-235)
         success = success | (finished & (i_now < max_total))
         done = done | newly_done
-        cyc = jnp.where(active, i_now, cyc)
-        return (done, success, metric, cycles_out, gamma, encstate, tm0, tm1,
-                ii, pos, t, cyc, maxnp)
+        return (done, back, success, metric, cycles_out, gamma, encstate,
+                tm0, tm1, ii, pos, t, cyc, maxnp)
 
-    state = (done, success, metric, cycles_out, gamma, encstate, tm0, tm1, ii,
-             pos, t, cyc, maxnp)
-    (done, success, metric, cycles_out, gamma, encstate, tm0, tm1, ii, pos, t,
-     cyc, maxnp) = jax.lax.while_loop(cond, body, state)
+    def cond(state):
+        return jnp.any(~state[0])
+
+    def body(state):
+        for _ in range(unroll):
+            state = step(state)
+        return state
+
+    state = (done, back, success, metric, cycles_out, gamma, encstate, tm0,
+             tm1, ii, pos, t, cyc, maxnp)
+    (done, back, success, metric, cycles_out, gamma, encstate, tm0, tm1, ii,
+     pos, t, cyc, maxnp) = jax.lax.while_loop(cond, body, state)
 
     # extract decoded bytes from nodes 7, 15, ..., 79 (wsprd/fano.c:224-230)
     byte_nodes = 7 + 8 * jnp.arange(NBITS >> 3, dtype=jnp.int32)  # (10,)

@@ -136,6 +136,26 @@ def subtract_signal2(
     return out_i, out_q
 
 
+def _subtract_one_masked(sig_i, sig_q, f0, shift, drift, symbols, enable):
+    ni, nq = subtract_signal2(sig_i, sig_q, f0, shift, drift, symbols)
+    return (jnp.where(enable, ni, sig_i), jnp.where(enable, nq, sig_q))
+
+
+@jax.jit
+def subtract_signal2_many(sig_i, sig_q, f0, shift, drift, symbols, enable):
+    """Vmapped coherent subtraction: one decode per window lane.
+
+    sig_i/sig_q: float32[N, SIGNAL_SAMPLES]; f0/drift float32[N];
+    shift int32[N]; symbols uint8[N, 162]; enable bool[N] (False lanes
+    pass through untouched — used to pad partial rounds). Decodes for
+    the SAME window must go in separate sequential calls (each
+    subtraction reads the previous result), matching the reference's
+    sequential order (wsprd/wsprd.c:781-789).
+    """
+    return jax.vmap(_subtract_one_masked)(
+        sig_i, sig_q, f0, shift, drift, symbols, enable)
+
+
 @jax.jit
 def subtract_signal(
     sig_i: jnp.ndarray, sig_q: jnp.ndarray, f0: jnp.ndarray,

@@ -68,7 +68,8 @@ def _gather_symbols(sig_i: jnp.ndarray, sig_q: jnp.ndarray,
                     shifts: jnp.ndarray):
     """Windowed samples x[c, i, j] = sig[shift_c + 256*i + j], zero
     outside (0, np) — note the reference's strict k > 0 bound
-    (wsprd/wsprd.c:199)."""
+    (wsprd/wsprd.c:199). Reference formulation (generic gather); the
+    hot paths use the slice-based window machinery below instead."""
     k = (shifts[:, None, None]
          + (jnp.arange(NSYM, dtype=jnp.int32) * NSPERSYM)[None, :, None]
          + jnp.arange(NSPERSYM, dtype=jnp.int32)[None, None, :])  # (C,162,256)
@@ -77,6 +78,67 @@ def _gather_symbols(sig_i: jnp.ndarray, sig_q: jnp.ndarray,
     xr = jnp.where(ok, sig_i[kc], 0.0)
     xi = jnp.where(ok, sig_q[kc], 0.0)
     return xr, xi
+
+
+# ---- slice-based candidate windows (the TPU-fast path) ---------------------
+#
+# Generic (C,162,256) gathers scalarize on TPU (~seconds per call).
+# Instead: one vmapped contiguous dynamic_slice pulls each candidate's
+# maximal window covering every lag/jitter offset, and each offset then
+# needs only a contiguous slice + reshape — gather-free, and XLA fuses
+# the slices straight into the correlator einsums.
+
+HALF_SPAN = 128                       # max |lag| (mode 0) and |jitter|
+NSIG = NSYM * NSPERSYM                # 41472
+WLEN = NSIG + 2 * HALF_SPAN           # per-candidate window length
+_PAD = 2048                           # coarse shift range is [-1152, 2944]
+
+
+def _padded_signal(sig_i: jnp.ndarray, sig_q: jnp.ndarray):
+    """Zero sample 0 (the C's strict k > 0 bound, wsprd/wsprd.c:199 —
+    every read of it is masked) and pad so all window starts/ends are
+    in range; out-of-range samples read the zero padding, matching the
+    reference's mask."""
+    zi = sig_i.at[0].set(0.0)
+    zq = sig_q.at[0].set(0.0)
+    pi = jnp.pad(zi, (_PAD, _PAD))
+    pq = jnp.pad(zq, (_PAD, _PAD))
+    return pi, pq
+
+
+def _candidate_windows(pi: jnp.ndarray, pq: jnp.ndarray,
+                       shifts: jnp.ndarray):
+    """(C,) base shifts -> (C, WLEN) windows starting at shift-HALF_SPAN."""
+    starts = shifts + (_PAD - HALF_SPAN)
+
+    def slice1(s):
+        return (jax.lax.dynamic_slice(pi, (s,), (WLEN,)),
+                jax.lax.dynamic_slice(pq, (s,), (WLEN,)))
+
+    return jax.vmap(slice1)(starts)
+
+
+def _window_symbols(wr: jnp.ndarray, wi: jnp.ndarray, off: jnp.ndarray):
+    """(C, WLEN) windows at a SHARED relative offset ``off`` in
+    [0, 2*HALF_SPAN] -> (C, 162, 256) symbol frames (contiguous slice +
+    reshape)."""
+    C = wr.shape[0]
+    xr = jax.lax.dynamic_slice_in_dim(wr, off, NSIG, axis=1)
+    xi = jax.lax.dynamic_slice_in_dim(wi, off, NSIG, axis=1)
+    return (xr.reshape(C, NSYM, NSPERSYM), xi.reshape(C, NSYM, NSPERSYM))
+
+
+def _window_symbols_percand(wr: jnp.ndarray, wi: jnp.ndarray,
+                            offs: jnp.ndarray):
+    """Per-candidate offsets (C,) -> (C, 162, 256) frames."""
+
+    def one(w_r, w_i, o):
+        return (
+            jax.lax.dynamic_slice(w_r, (o,), (NSIG,)).reshape(NSYM, NSPERSYM),
+            jax.lax.dynamic_slice(w_i, (o,), (NSIG,)).reshape(NSYM, NSPERSYM),
+        )
+
+    return jax.vmap(one)(wr, wi, offs)
 
 
 def _tone_mags(yr: jnp.ndarray, yi: jnp.ndarray,
@@ -126,17 +188,21 @@ def fine_sync(
     ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
     etr = jnp.asarray(E_TONE_R)
     eti = jnp.asarray(E_TONE_I)
+    pi, pq = _padded_signal(sig_i, sig_q)
+    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
 
     # ---- mode 0: lag search ----
     rel_lags = jnp.arange(-128, 129, lagstep, dtype=jnp.int32)
 
     def lag_step(_, rel):
-        xr, xi = _gather_symbols(sig_i, sig_q, shift + rel)
+        xr, xi = _window_symbols(wr, wi, rel + HALF_SPAN)
         yr, yi = _derotate(xr, xi, ecr, eci)
         p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
         return None, _sync_from_powers(p)
 
-    _, sync_l = jax.lax.scan(lag_step, None, rel_lags)  # (L, C)
+    scan_unroll = 4 if jax.default_backend() == "tpu" else 1
+    _, sync_l = jax.lax.scan(lag_step, None, rel_lags,
+                             unroll=scan_unroll)  # (L, C)
     best_l = jnp.argmax(sync_l, axis=0)  # first max wins = C lag order
     shift1 = shift + rel_lags[best_l]
 
@@ -153,7 +219,8 @@ def fine_sync(
     ei = (efr[:, :, None] * eti[:, None, :]
           + efi[:, :, None] * etr[:, None, :]).reshape(NSPERSYM, 20)
 
-    xr, xi = _gather_symbols(sig_i, sig_q, shift1)      # (C,162,256)
+    # shift1 - shift in [-128, 128] -> still inside the same windows
+    xr, xi = _window_symbols_percand(wr, wi, shift1 - shift + HALF_SPAN)
     yr, yi = _derotate(xr, xi, ecr, eci)
     p = _tone_mags(yr, yi, er, ei)                      # (C,162,20)
     p = p.reshape(p.shape[0], NSYM, 5, 4)
@@ -200,11 +267,13 @@ def soft_symbols_jittered(
     etr = jnp.asarray(E_TONE_R)
     eti = jnp.asarray(E_TONE_I)
     jit = jnp.asarray(jitter_offsets(iifac, quickmode))
+    pi, pq = _padded_signal(sig_i, sig_q)
+    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
 
     pr3 = jnp.asarray(_PR3)
 
     def jit_step(_, ii):
-        xr, xi = _gather_symbols(sig_i, sig_q, shift + ii)
+        xr, xi = _window_symbols(wr, wi, ii + HALF_SPAN)
         yr, yi = _derotate(xr, xi, ecr, eci)
         p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
         sync = _sync_from_powers(p)
@@ -222,5 +291,7 @@ def soft_symbols_jittered(
         rms = jnp.sqrt(jnp.sum(y * y, axis=-1) / NSYM)
         return None, (sym, sync, rms)
 
-    _, (sym, sync, rms) = jax.lax.scan(jit_step, None, jit)
+    scan_unroll = 4 if jax.default_backend() == "tpu" else 1
+    _, (sym, sync, rms) = jax.lax.scan(jit_step, None, jit,
+                                       unroll=scan_unroll)
     return JitteredSymbols(symbols=sym, sync=sync, rms=rms)

@@ -10,12 +10,14 @@ with overlap-save halo exchange over ``ppermute`` (the sequence-parallel
 analog).
 """
 
+from . import distributed
 from .mesh import channel_sharding, local_mesh, make_mesh, replicated
 from .multichannel import (
     ChannelDecode,
     decode_channels,
     multichannel_decode_device,
 )
+from .streaming import decimate_stage1_sharded
 
 __all__ = [
     "make_mesh",
@@ -25,4 +27,6 @@ __all__ = [
     "ChannelDecode",
     "decode_channels",
     "multichannel_decode_device",
+    "decimate_stage1_sharded",
+    "distributed",
 ]

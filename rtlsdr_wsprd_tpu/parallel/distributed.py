@@ -1,0 +1,62 @@
+"""Multi-host initialization and global meshes.
+
+The reference has no distributed story (single process, one dongle —
+SURVEY.md component 39). Here multi-host scaling is standard JAX SPMD:
+every host runs the same program, ``jax.distributed.initialize`` wires
+the processes into one runtime, and a global 1-D (or 2-D host x chip)
+mesh shards the channel axis; each host ingests its own channels (DCN
+never carries sample data, only the tiny spot lists if aggregated).
+
+Usage on each host of an N-host slice:
+
+    from rtlsdr_wsprd_tpu.parallel import distributed as dist
+    dist.initialize(coordinator="host0:1234", num_processes=N,
+                    process_id=rank)
+    mesh = dist.global_channel_mesh()
+    # shard (B_global, 45000) planar windows over mesh's "ch" axis;
+    # each host device_put's only its addressable shard
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Wire this process into a multi-host JAX runtime.
+
+    All-None arguments defer to environment auto-detection (TPU pod
+    metadata), which is the normal production path.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_channel_mesh(axis_name: str = "ch") -> Mesh:
+    """1-D mesh over every device in the job (all hosts)."""
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def host_chip_mesh(ch_axis: str = "ch", host_axis: str = "host") -> Mesh:
+    """2-D (hosts x local chips) mesh: shard channels over hosts (DCN
+    boundary) and over chips within a host (ICI) independently."""
+    n_hosts = jax.process_count()
+    devs = np.asarray(jax.devices())
+    per_host = devs.size // n_hosts
+    return Mesh(devs.reshape(n_hosts, per_host), (host_axis, ch_axis))
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The [start, stop) channel range this host should ingest when a
+    (global_batch, ...) array is sharded over all devices."""
+    n = jax.process_count()
+    per = global_batch // n
+    r = jax.process_index()
+    return slice(r * per, (r + 1) * per)

@@ -20,6 +20,8 @@ unpacks messages, dedupes and drives the pass loop.
 
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -27,13 +29,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DT, SIGNAL_SAMPLES, DecoderOptions
+from ..config import DT, MAX_UNIQUES, SIGNAL_SAMPLES, DecoderOptions
 from ..models.decoder import Spot
 from ..ops.candidates import find_candidates
 from ..ops.coarse import coarse_search
 from ..ops.fano import batched_fano, build_mettab
+from ..ops.fano_hybrid import (
+    DEVICE_MAXCYCLES,
+    host_finish,
+    pending_mask,
+)
 from ..ops.stft import power_spectrogram
-from ..ops.subtract import subtract_signal2
+from ..ops.subtract import subtract_signal2, subtract_signal2_many
 from ..ops.sync import fine_sync, jitter_offsets, soft_symbols_jittered
 from ..utils.channel import INTERLEAVE_PERM, get_wspr_channel_symbols
 from ..utils.codec import unpack_message
@@ -41,6 +48,7 @@ from ..utils.hashtable import WsprHashTable
 from .mesh import channel_sharding, replicated
 
 _METTAB = build_mettab()
+_LOG = logging.getLogger("rtlsdr_wsprd_tpu.multichannel")
 
 # attempts decoded per channel per pass; gate-passing attempts beyond
 # this (priority = candidate-major, jitter order) are dropped. The
@@ -67,6 +75,8 @@ class ChannelDecode(NamedTuple):
     success: jnp.ndarray      # bool[B, K] Fano success
     data: jnp.ndarray         # uint8[B, K, 11] decoded bytes
     cycles: jnp.ndarray       # uint32[B, K] Fano cycle counts
+    deint: jnp.ndarray        # uint8[B, K, 162] deinterleaved symbols
+                              # (kept for the host straggler decoder)
 
 
 def _decode_one_channel(
@@ -126,6 +136,7 @@ def _decode_one_channel(
         drift=coarse.drift,
         sel_cand=sel_c, sel_jit=sel_j, sel_valid=sel_valid,
         success=res.success & sel_valid, data=res.data, cycles=res.cycles,
+        deint=deint,
     )
 
 
@@ -171,6 +182,61 @@ def multichannel_decode_device(
     return jax.vmap(fn)(sig_i, sig_q, maxdrift)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("fmin", "fmax", "lagstep", "iifac", "quickmode",
+                     "symfac", "minsync1", "minsync2", "minrms",
+                     "max_attempts", "delta", "maxcycles"),
+)
+def _decode_device_packed(sig_i, sig_q, maxdrift, **kw):
+    """Device step + packing into 3 arrays (host fetches through the
+    tunnel pay per-array latency; 12 fetches -> 3)."""
+    o = multichannel_decode_device(sig_i, sig_q, maxdrift, **kw)
+    f32 = jnp.stack([
+        o.snr, o.freq, o.sync, o.drift,
+        o.valid.astype(jnp.float32), o.shift.astype(jnp.float32),
+    ], axis=1)                                       # (B, 6, C)
+    i32 = jnp.stack([
+        o.sel_cand, o.sel_jit, o.sel_valid.astype(jnp.int32),
+        o.success.astype(jnp.int32), o.cycles.astype(jnp.int32),
+    ], axis=1)                                       # (B, 5, K)
+    return f32, i32, o.data, o.deint                 # + (B,K,11) (B,K,162)
+
+
+def _unpack(f32: np.ndarray, i32: np.ndarray, data: np.ndarray,
+            deint: np.ndarray) -> ChannelDecode:
+    return ChannelDecode(
+        snr=f32[:, 0], freq=f32[:, 1], sync=f32[:, 2], drift=f32[:, 3],
+        valid=f32[:, 4] != 0.0, shift=f32[:, 5].astype(np.int32),
+        sel_cand=i32[:, 0], sel_jit=i32[:, 1],
+        sel_valid=i32[:, 2] != 0, success=i32[:, 3] != 0,
+        cycles=i32[:, 4].astype(np.uint32), data=data, deint=deint,
+    )
+
+
+def _finish_stragglers(out: ChannelDecode,
+                       options: DecoderOptions) -> ChannelDecode:
+    """Host side of the hybrid FEC decode: lanes that hit the device
+    Fano budget re-run on the native sequential decoder with the full
+    reference budget (ops/fano_hybrid.py)."""
+    dev_mc = min(options.maxcycles, DEVICE_MAXCYCLES)
+    B, K = out.success.shape
+    succ = out.success.reshape(-1)
+    cyc = out.cycles.reshape(-1)
+    pend = pending_mask(succ, cyc, dev_mc, options.maxcycles)
+    pend &= out.sel_valid.reshape(-1)
+    if not pend.any():
+        return out
+    _LOG.debug("host-finishing %d straggler lanes", int(pend.sum()))
+    data = out.data.reshape(-1, 11)
+    deint = out.deint.reshape(-1, 162)
+    succ, data, cyc = host_finish(deint, succ, data, cyc, pend,
+                                  options.delta, options.maxcycles)
+    return out._replace(success=succ.reshape(B, K),
+                        data=data.reshape(B, K, 11),
+                        cycles=cyc.reshape(B, K))
+
+
 def _collect_channel_spots(
     b: int,
     out,
@@ -204,6 +270,8 @@ def _collect_channel_spots(
         if any(msg.callsign == s_call and abs(freq_c - s_freq) < 3.0
                for s_call, s_freq in seen):
             continue
+        if len(uniques) >= MAX_UNIQUES:
+            break  # result buffer bound (wsprd/wsprd.h:41)
         seen.append((msg.callsign, freq_c))
         uniques.append(Spot(
             freq=options.freq / 1e6 + (1500.0 + freq_c) / 1e6,
@@ -228,6 +296,7 @@ def decode_channels(
     hashtable: WsprHashTable | None = None,
     sharding=None,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+    device_batch: int = 8,
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
@@ -238,14 +307,25 @@ def decode_channels(
     descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    sig_i = jnp.asarray(i_windows, jnp.float32)
-    sig_q = jnp.asarray(q_windows, jnp.float32)
-    assert sig_i.ndim == 2 and sig_i.shape[1] == SIGNAL_SAMPLES
-    assert sig_i.shape == sig_q.shape
-    B = sig_i.shape[0]
-    if sharding is not None:
-        sig_i = jax.device_put(sig_i, sharding)
-        sig_q = jax.device_put(sig_q, sharding)
+    # canonical window state lives on HOST: if the accelerator worker
+    # crashes mid-batch (observed on tunneled single-chip setups), the
+    # chunk retries below re-upload and continue (SURVEY.md section 5,
+    # failure detection / per-window isolation)
+    cur_i = np.asarray(i_windows, np.float32)
+    cur_q = np.asarray(q_windows, np.float32)
+    assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
+    assert cur_i.shape == cur_q.shape
+    B = cur_i.shape[0]
+
+    def upload():
+        si = jnp.asarray(cur_i)
+        sq = jnp.asarray(cur_q)
+        if sharding is not None:
+            si = jax.device_put(si, sharding)
+            sq = jax.device_put(sq, sharding)
+        return si, sq
+
+    sig_i, sig_q = upload()
 
     lagstep = 16 if options.quickmode else 8
     jit_offs = jitter_offsets(options.iifac, options.quickmode)
@@ -255,7 +335,9 @@ def decode_channels(
         symfac=options.symfac, minsync1=options.minsync1,
         minsync2=options.minsync2, minrms=options.minrms,
         max_attempts=max_attempts, delta=options.delta,
-        maxcycles=options.maxcycles,
+        # hybrid FEC: the device runs a small budget; stragglers are
+        # finished on the host (_finish_stragglers)
+        maxcycles=min(options.maxcycles, DEVICE_MAXCYCLES),
     )
 
     uniques: list[list[Spot]] = [[] for _ in range(B)]
@@ -268,11 +350,57 @@ def decode_channels(
                            np.int32)
         md = jnp.asarray(maxdrift)
         if sharding is not None:
+            # mesh path: one call, channels sharded over devices (the
+            # per-device slice is the memory unit)
             md = jax.device_put(md, sharding)
-        out_dev = multichannel_decode_device(sig_i, sig_q, md, **kw)
-        out = jax.tree.map(np.asarray, out_dev)
+            pk = _decode_device_packed(sig_i, sig_q, md, **kw)
+            out = _unpack(*(np.asarray(a) for a in pk))
+        else:
+            # single device: bound HBM by decoding fixed-size
+            # sub-batches (one compiled executable for any B; the last
+            # chunk is padded with copies of channel 0 and discarded),
+            # with crash-isolation retries per chunk
+            packs = []
+            for c0 in range(0, B, device_batch):
+                c1 = min(c0 + device_batch, B)
+                pad = device_batch - (c1 - c0)
+                for attempt in range(3):
+                    try:
+                        ci = jnp.concatenate(
+                            [sig_i[c0:c1],
+                             jnp.repeat(sig_i[:1], pad, axis=0)]) \
+                            if pad else sig_i[c0:c1]
+                        cq = jnp.concatenate(
+                            [sig_q[c0:c1],
+                             jnp.repeat(sig_q[:1], pad, axis=0)]) \
+                            if pad else sig_q[c0:c1]
+                        cm = jnp.concatenate(
+                            [md[c0:c1], jnp.repeat(md[:1], pad, axis=0)]) \
+                            if pad else md[c0:c1]
+                        _LOG.debug("pass %d chunk %d dispatch", ipass, c0)
+                        pk = _decode_device_packed(ci, cq, cm, **kw)
+                        packs.append(tuple(np.asarray(a)[:c1 - c0]
+                                           for a in pk))
+                        _LOG.debug("pass %d chunk %d done", ipass, c0)
+                        break
+                    except jax.errors.JaxRuntimeError as e:
+                        _LOG.warning("device chunk crashed (pass %d, "
+                                     "chunk %d, attempt %d): %s",
+                                     ipass, c0, attempt, str(e)[:80])
+                        if attempt == 2:
+                            raise
+                        time.sleep(5.0 * (attempt + 1))
+                        sig_i, sig_q = upload()  # worker restarted
+                        md = jnp.asarray(maxdrift)
+            out = _unpack(*(np.concatenate(parts, axis=0)
+                            for parts in zip(*packs)))
+        out = _finish_stragglers(out, options)
 
-        host_i = host_q = None
+        # collect this pass's new decodes per channel, then subtract in
+        # vmapped ROUNDS: round r applies each channel's r-th decode
+        # (same-channel decodes stay sequential, matching the C's order
+        # wsprd/wsprd.c:781-789; cross-channel lanes run in parallel)
+        subs: dict[int, list[tuple]] = {}
         for b in range(B):
             if ipass == 1 and not uniques[b]:
                 continue  # this channel's pass 0 was empty (wsprd.c:522)
@@ -282,24 +410,42 @@ def decode_channels(
                 chan_syms = get_wspr_channel_symbols(call_loc_pow, ht)
                 if chan_syms is None:
                     continue
-                if host_i is None:
-                    host_i = np.array(sig_i)  # mutable copies
-                    host_q = np.array(sig_q)
-                ni, nq = subtract_signal2(
-                    jnp.asarray(host_i[b]), jnp.asarray(host_q[b]),
-                    jnp.float32(out.freq[b, c]),
-                    jnp.int32(out.shift[b, c]),
-                    jnp.float32(out.drift[b, c]),
-                    jnp.asarray(chan_syms),
-                )
-                host_i[b] = np.asarray(ni)
-                host_q[b] = np.asarray(nq)
-        if host_i is not None:
-            sig_i = jnp.asarray(host_i)
-            sig_q = jnp.asarray(host_q)
-            if sharding is not None:
-                sig_i = jax.device_put(sig_i, sharding)
-                sig_q = jax.device_put(sig_q, sharding)
+                subs.setdefault(b, []).append((
+                    float(out.freq[b, c]), int(out.shift[b, c]),
+                    float(out.drift[b, c]),
+                    np.asarray(chan_syms, np.uint8)))
+        if subs:
+            n_rounds = max(len(v) for v in subs.values())
+            _LOG.debug("subtracting %d decodes in %d rounds",
+                       sum(len(v) for v in subs.values()), n_rounds)
+            lane_n = device_batch
+            for r in range(n_rounds):
+                lanes = [(b, *subs[b][r]) for b in sorted(subs)
+                         if len(subs[b]) > r]
+                for l0 in range(0, len(lanes), lane_n):
+                    grp = lanes[l0:l0 + lane_n]
+                    n = len(grp)
+                    pad = lane_n - n
+                    bidx = np.array([g[0] for g in grp] + [0] * pad)
+                    ni, nq = subtract_signal2_many(
+                        jnp.asarray(cur_i[bidx]), jnp.asarray(cur_q[bidx]),
+                        jnp.asarray(np.array(
+                            [g[1] for g in grp] + [0.0] * pad, np.float32)),
+                        jnp.asarray(np.array(
+                            [g[2] for g in grp] + [0] * pad, np.int32)),
+                        jnp.asarray(np.array(
+                            [g[3] for g in grp] + [0.0] * pad, np.float32)),
+                        jnp.asarray(np.stack(
+                            [g[4] for g in grp]
+                            + [np.zeros(162, np.uint8)] * pad)),
+                        jnp.asarray(np.array([True] * n + [False] * pad)),
+                    )
+                    ni = np.asarray(ni)
+                    nq = np.asarray(nq)
+                    for k in range(n):
+                        cur_i[bidx[k]] = ni[k]
+                        cur_q[bidx[k]] = nq[k]
+            sig_i, sig_q = upload()
 
     for b in range(B):
         uniques[b].sort(key=lambda s: -s.snr)
