@@ -19,7 +19,9 @@ from pathlib import Path
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_SO = _NATIVE_DIR / "libhostdsp.so"
+# installed (non-repo) deployments point at the built library directly
+_SO = Path(os.environ.get("RTLSDR_WSPRD_TPU_NATIVE",
+                          _NATIVE_DIR / "libhostdsp.so"))
 
 _lib = None
 
