@@ -59,8 +59,8 @@ def main() -> None:
     from rtlsdr_wsprd_tpu.config import DecoderOptions
     from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
 
-    B = 32
-    DB = 16  # per-device-call sub-batch (HBM-bound; 16 fits with margin)
+    B = 256
+    DB = 64  # per-device-call sub-batch (stage A HBM bound)
     wi, wq = make_batch(B)
     options = DecoderOptions()
 
@@ -70,7 +70,7 @@ def main() -> None:
     decode_channels(wi, wq, options, device_batch=DB)
 
     # steady state
-    iters = 3
+    iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
         spots = decode_channels(wi, wq, options, device_batch=DB)
@@ -78,6 +78,29 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     windows_per_s = B * iters / dt
+
+    # secondary: streaming front-end throughput (stage 1 runs at the
+    # full 2.4 Msps input rate and dominates; rtlsdr_wsprd.c "RX load")
+    import jax.numpy as jnp
+
+    from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_xla
+    from rtlsdr_wsprd_tpu.frontend.filters import R1, STAGE1_TAPS
+
+    n_frames = 300_000  # 24M samples = 10 s of stream
+    L = n_frames * R1 + STAGE1_TAPS - R1
+    rng = np.random.default_rng(3)
+    xI = jnp.asarray(rng.normal(0, 30, L).astype(np.float32))
+    xQ = jnp.asarray(rng.normal(0, 30, L).astype(np.float32))
+    mI, mQ = decimate_stage1_xla(xI, xQ, n_frames)
+    float(np.asarray(mI[0]))  # barrier (block_until_ready is a no-op here)
+    t0 = time.perf_counter()
+    fe_iters = 3
+    for _ in range(fe_iters):
+        mI, mQ = decimate_stage1_xla(xI, xQ, n_frames)
+        float(np.asarray(mI[0]))
+    fe_dt = time.perf_counter() - t0
+    fe_msps = n_frames * R1 * fe_iters / fe_dt / 1e6
+
     print(json.dumps({
         "metric": "decode_windows_per_s_per_chip",
         "value": round(windows_per_s, 3),
@@ -85,6 +108,9 @@ def main() -> None:
         "vs_baseline": round(windows_per_s / REF_WINDOWS_PER_S, 3),
         "batch": B,
         "spots_per_batch": n_spots,
+        "realtime_channels_per_chip": int(windows_per_s * 120),
+        "frontend_msps": round(fe_msps, 1),
+        "frontend_realtime_channels": int(fe_msps / 2.4),
         "device": str(jax.devices()[0].platform),
     }))
 

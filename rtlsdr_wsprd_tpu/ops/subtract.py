@@ -142,6 +142,31 @@ def _subtract_one_masked(sig_i, sig_q, f0, shift, drift, symbols, enable):
 
 
 @jax.jit
+def subtract_rows(sig_i, sig_q, bidx, f0, shift, drift, symbols, enable):
+    """Device-resident batched subtraction: apply one decode per ROW of
+    a (B, SIGNAL_SAMPLES) window batch, in place (functionally).
+
+    bidx int32[R] selects the row each lane updates; enable bool[R]
+    masks padding lanes. Updates are applied as scatter-ADDed deltas,
+    so disabled lanes (delta 0) can share a row index with an enabled
+    lane safely; two ENABLED lanes must not target the same row (one
+    decode per channel per round, wsprd/wsprd.c:781-789 sequencing is
+    kept by the caller's round loop)."""
+    n = sig_i.shape[1]
+
+    def one(b, f, s, d, sym):
+        row_i = jax.lax.dynamic_slice(sig_i, (b, 0), (1, n))[0]
+        row_q = jax.lax.dynamic_slice(sig_q, (b, 0), (1, n))[0]
+        ni, nq = subtract_signal2(row_i, row_q, f, s, d, sym)
+        return ni - row_i, nq - row_q
+
+    di, dq = jax.vmap(one)(bidx, f0, shift, drift, symbols)
+    en = enable[:, None]
+    return (sig_i.at[bidx].add(jnp.where(en, di, 0.0)),
+            sig_q.at[bidx].add(jnp.where(en, dq, 0.0)))
+
+
+@jax.jit
 def subtract_signal2_many(sig_i, sig_q, f0, shift, drift, symbols, enable):
     """Vmapped coherent subtraction: one decode per window lane.
 

@@ -141,6 +141,26 @@ def _window_symbols_percand(wr: jnp.ndarray, wi: jnp.ndarray,
     return jax.vmap(one)(wr, wi, offs)
 
 
+def _padded_signals(sig_i: jnp.ndarray, sig_q: jnp.ndarray):
+    """Batched _padded_signal: (B, N) -> (B, N + 2*_PAD)."""
+    return jax.vmap(_padded_signal)(sig_i, sig_q)
+
+
+def _lane_windows(pi: jnp.ndarray, pq: jnp.ndarray, lane_w: jnp.ndarray,
+                  shifts: jnp.ndarray):
+    """Cross-window candidate lanes: pi/pq (B, N+2*_PAD) padded signal
+    planes, lane_w int32[G] window index per lane, shifts int32[G] ->
+    (G, WLEN) windows. One 2-D dynamic_slice per lane — gather-free,
+    same as _candidate_windows but with a batch coordinate."""
+    starts = shifts + (_PAD - HALF_SPAN)
+
+    def one(w, s):
+        return (jax.lax.dynamic_slice(pi, (w, s), (1, WLEN))[0],
+                jax.lax.dynamic_slice(pq, (w, s), (1, WLEN))[0])
+
+    return jax.vmap(one)(lane_w, starts)
+
+
 def _tone_mags(yr: jnp.ndarray, yi: jnp.ndarray,
                er: jnp.ndarray, ei: jnp.ndarray) -> jnp.ndarray:
     """y: (C,162,256) de-rotated samples (planar); e: (256, K) tone
@@ -173,23 +193,18 @@ class FineSync(NamedTuple):
     sync: jnp.ndarray   # float32[C]
 
 
-@partial(jax.jit, static_argnames=("lagstep",))
-def fine_sync(
-    sig_i: jnp.ndarray,
-    sig_q: jnp.ndarray,
+def _fine_sync_core(
+    wr: jnp.ndarray,
+    wi: jnp.ndarray,
     freq: jnp.ndarray,
     shift: jnp.ndarray,
     drift: jnp.ndarray,
-    lagstep: int = 8,
+    lagstep: int,
 ) -> FineSync:
-    """Mode-0 lag search (+/-128 by lagstep) then mode-1 freq search
-    (+/-0.2 Hz, step 0.1) for all candidates at once
-    (wsprd/wsprd.c:709-726). quickmode uses lagstep=16."""
+    """Shared mode-0/mode-1 body over already-built (C, WLEN) windows."""
     ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
     etr = jnp.asarray(E_TONE_R)
     eti = jnp.asarray(E_TONE_I)
-    pi, pq = _padded_signal(sig_i, sig_q)
-    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
 
     # ---- mode 0: lag search ----
     rel_lags = jnp.arange(-128, 129, lagstep, dtype=jnp.int32)
@@ -231,6 +246,41 @@ def fine_sync(
     return FineSync(freq=freq1, shift=shift1, sync=sync1)
 
 
+@partial(jax.jit, static_argnames=("lagstep",))
+def fine_sync(
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
+    freq: jnp.ndarray,
+    shift: jnp.ndarray,
+    drift: jnp.ndarray,
+    lagstep: int = 8,
+) -> FineSync:
+    """Mode-0 lag search (+/-128 by lagstep) then mode-1 freq search
+    (+/-0.2 Hz, step 0.1) for all candidates at once
+    (wsprd/wsprd.c:709-726). quickmode uses lagstep=16."""
+    pi, pq = _padded_signal(sig_i, sig_q)
+    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
+    return _fine_sync_core(wr, wi, freq, shift, drift, lagstep)
+
+
+def fine_sync_lanes(
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
+    lane_w: jnp.ndarray,
+    freq: jnp.ndarray,
+    shift: jnp.ndarray,
+    drift: jnp.ndarray,
+    lagstep: int = 8,
+) -> FineSync:
+    """fine_sync over candidate LANES compacted across a window batch:
+    sig_i/sig_q (B, N) planar signals, lane_w int32[G] maps each lane to
+    its window. Identical math per lane; the lane axis replaces the
+    (window x candidate) grid so invalid candidates cost nothing."""
+    pi, pq = _padded_signals(sig_i, sig_q)
+    wr, wi = _lane_windows(pi, pq, lane_w, shift)  # (G, WLEN)
+    return _fine_sync_core(wr, wi, freq, shift, drift, lagstep)
+
+
 def jitter_offsets(iifac: int = 3, quickmode: bool = False) -> np.ndarray:
     """The DT peak-up schedule 0, -1, +1, -2, +2, ... times iifac
     (wsprd/wsprd.c:741-745); quickmode tries only the first."""
@@ -250,25 +300,20 @@ class JitteredSymbols(NamedTuple):
     rms: jnp.ndarray      # float32[J, C] soft-symbol RMS
 
 
-@partial(jax.jit, static_argnames=("iifac", "quickmode", "symfac"))
-def soft_symbols_jittered(
-    sig_i: jnp.ndarray,
-    sig_q: jnp.ndarray,
+def _soft_symbols_core(
+    wr: jnp.ndarray,
+    wi: jnp.ndarray,
     freq: jnp.ndarray,
-    shift: jnp.ndarray,
     drift: jnp.ndarray,
-    iifac: int = 3,
-    quickmode: bool = False,
-    symfac: int = 50,
+    iifac: int,
+    quickmode: bool,
+    symfac: int,
 ) -> JitteredSymbols:
-    """Mode-2 soft symbols for every jitter attempt of every candidate
-    (wsprd/wsprd.c:739-766 jitter loop; mode-2 body :219-256)."""
+    """Shared mode-2 body over already-built (C, WLEN) windows."""
     ecr, eci = _cand_phasor_conj(freq, drift)
     etr = jnp.asarray(E_TONE_R)
     eti = jnp.asarray(E_TONE_I)
     jit = jnp.asarray(jitter_offsets(iifac, quickmode))
-    pi, pq = _padded_signal(sig_i, sig_q)
-    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
 
     pr3 = jnp.asarray(_PR3)
 
@@ -295,3 +340,39 @@ def soft_symbols_jittered(
     _, (sym, sync, rms) = jax.lax.scan(jit_step, None, jit,
                                        unroll=scan_unroll)
     return JitteredSymbols(symbols=sym, sync=sync, rms=rms)
+
+
+@partial(jax.jit, static_argnames=("iifac", "quickmode", "symfac"))
+def soft_symbols_jittered(
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
+    freq: jnp.ndarray,
+    shift: jnp.ndarray,
+    drift: jnp.ndarray,
+    iifac: int = 3,
+    quickmode: bool = False,
+    symfac: int = 50,
+) -> JitteredSymbols:
+    """Mode-2 soft symbols for every jitter attempt of every candidate
+    (wsprd/wsprd.c:739-766 jitter loop; mode-2 body :219-256)."""
+    pi, pq = _padded_signal(sig_i, sig_q)
+    wr, wi = _candidate_windows(pi, pq, shift)  # (C, WLEN)
+    return _soft_symbols_core(wr, wi, freq, drift, iifac, quickmode, symfac)
+
+
+def soft_symbols_lanes(
+    sig_i: jnp.ndarray,
+    sig_q: jnp.ndarray,
+    lane_w: jnp.ndarray,
+    freq: jnp.ndarray,
+    shift: jnp.ndarray,
+    drift: jnp.ndarray,
+    iifac: int = 3,
+    quickmode: bool = False,
+    symfac: int = 50,
+) -> JitteredSymbols:
+    """Mode-2 soft symbols over candidate lanes compacted across a
+    window batch (see fine_sync_lanes)."""
+    pi, pq = _padded_signals(sig_i, sig_q)
+    wr, wi = _lane_windows(pi, pq, lane_w, shift)  # (G, WLEN)
+    return _soft_symbols_core(wr, wi, freq, drift, iifac, quickmode, symfac)

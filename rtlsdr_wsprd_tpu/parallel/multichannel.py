@@ -1,21 +1,33 @@
-"""Batched multi-channel WSPR decoding over a device mesh.
+"""Batched multi-channel WSPR decoding.
 
 The reference decodes exactly one channel, sequentially, per 2-minute
-window (wsprd/wsprd.c:416-855). Here ``B`` channels decode as one
-device program: every per-channel stage (spectrogram, candidate pick,
-coarse/fine sync, jittered soft symbols) is ``vmap``-ed over the
-channel axis, the (candidate x jitter) FEC attempts of ALL channels are
-compacted on device into one fixed-size Fano batch, and the whole step
-is sharded over the mesh's ``ch`` axis with ``jax.jit`` + NamedSharding
-(pure data parallelism — each window's decode stays resident on one
-chip, SURVEY.md section 5).
+window (wsprd/wsprd.c:416-855). Here ``B`` channels decode together,
+via one of two device strategies:
 
-Unlike the single-window path (models/decoder.py), attempt gating and
-compaction happen ON DEVICE via ``lax.top_k`` on a priority key that
-reproduces the reference's candidate-major, jitter-schedule order
-(wsprd/wsprd.c:697,741) — so the first-success-per-candidate selection
-on host still matches the C's first-hit-wins semantics. Host code only
-unpacks messages, dedupes and drives the pass loop.
+**Staged single-device path** (default; decode_channels without a
+sharding): windows carry up to MAX_CANDIDATES=200 candidate slots but
+real windows populate a handful, so the expensive correlator stages
+must not run over the dense (window x candidate) grid. Stage A runs
+the cheap per-window dense ops (STFT, candidate pick, coarse grid) in
+fixed-size chunks; the host compacts every valid candidate across the
+whole batch into a short lane axis (window-major, SNR-descending —
+the reference's processing order); stage B runs fine sync + jitter
+demod + FEC gates on just those lanes; FEC attempts then run in
+host-driven rounds so each lane tries its gate-passing jitters in
+schedule order until first success (wsprd/wsprd.c:739-766), with the
+hybrid device-budget/native-straggler Fano (ops/fano_hybrid.py).
+Window sample planes stay DEVICE-RESIDENT across passes
+(_DeviceWindows): inter-pass subtraction applies on device and the
+host keeps originals + a replay log for crash recovery.
+
+**Mesh path** (decode_channels with a NamedSharding): one fully dense
+device program — every stage vmapped over the channel axis, attempt
+compaction on device via ``lax.top_k`` on a priority key reproducing
+the reference's candidate-major, jitter-schedule order — sharded over
+the mesh's ``ch`` axis (pure data parallelism; each window's decode
+stays resident on one chip, SURVEY.md section 5, zero collectives).
+
+Host code only unpacks messages, dedupes and drives the pass loop.
 """
 
 from __future__ import annotations
@@ -29,7 +41,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DT, MAX_UNIQUES, SIGNAL_SAMPLES, DecoderOptions
+from ..config import (
+    DT,
+    MAX_CANDIDATES,
+    MAX_UNIQUES,
+    SIGNAL_SAMPLES,
+    DecoderOptions,
+)
 from ..models.decoder import Spot
 from ..ops.candidates import find_candidates
 from ..ops.coarse import coarse_search
@@ -40,8 +58,18 @@ from ..ops.fano_hybrid import (
     pending_mask,
 )
 from ..ops.stft import power_spectrogram
-from ..ops.subtract import subtract_signal2, subtract_signal2_many
-from ..ops.sync import fine_sync, jitter_offsets, soft_symbols_jittered
+from ..ops.subtract import (
+    subtract_rows,
+    subtract_signal2,
+    subtract_signal2_many,
+)
+from ..ops.sync import (
+    fine_sync,
+    fine_sync_lanes,
+    jitter_offsets,
+    soft_symbols_jittered,
+    soft_symbols_lanes,
+)
 from ..utils.channel import INTERLEAVE_PERM, get_wspr_channel_symbols
 from ..utils.codec import unpack_message
 from ..utils.hashtable import WsprHashTable
@@ -203,6 +231,136 @@ def _decode_device_packed(sig_i, sig_q, maxdrift, **kw):
     return f32, i32, o.data, o.deint                 # + (B,K,11) (B,K,162)
 
 
+# ---- staged single-device path: per-window search, then lane-compacted
+# refinement ------------------------------------------------------------
+#
+# Windows carry up to MAX_CANDIDATES=200 candidate slots but real
+# windows populate a handful (noise floor + peak gates,
+# wsprd/wsprd.c:599-619), so running fine sync / jitter demod over the
+# full (window x candidate) grid wastes ~98% of the device FLOPs.
+# Stage A runs the cheap per-window dense ops (STFT, candidate pick,
+# coarse grid — all O(window)); the host then compacts every valid
+# candidate across the whole batch into a short lane axis and stage B
+# runs the expensive correlator/FEC machinery on just those lanes.
+
+LANE_BUCKETS = (16, 64, 256, 1024)  # static stage-B lane shapes
+
+
+@partial(jax.jit, static_argnames=("fmin", "fmax"))
+def _stage_a_packed(sig_i, sig_q, maxdrift, *, fmin, fmax):
+    """Per-window search: (B, 45000) x2 -> (B, 5, C) packed
+    [snr, valid, coarse freq, coarse shift, coarse drift]."""
+
+    def one(i, q, md):
+        ps = power_spectrogram(i, q)
+        cand = find_candidates(ps, fmin, fmax)
+        co = coarse_search(ps, cand.bin_idx, md)
+        return jnp.stack([
+            cand.snr, cand.valid.astype(jnp.float32),
+            co.freq, co.shift.astype(jnp.float32), co.drift,
+        ])
+
+    return jax.vmap(one)(sig_i, sig_q, maxdrift)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lagstep", "iifac", "quickmode", "symfac", "minsync1",
+                     "minsync2", "minrms"),
+)
+def _stage_b_packed(sig_i, sig_q, lane_w, freq, shift, drift, lane_valid, *,
+                    lagstep, iifac, quickmode, symfac, minsync1, minsync2,
+                    minrms):
+    """Lane-compacted refinement: fine sync + jitter demod + FEC gates
+    over G lanes spanning the batch. FEC itself is driven by the host
+    (_fano_rounds) so each lane tries its gate-passing jitters in
+    schedule order until first success — the reference's jitter-loop
+    semantics (wsprd/wsprd.c:739-766) — without a global attempt cap
+    starving late lanes."""
+    fine = fine_sync_lanes(sig_i, sig_q, lane_w, freq, shift, drift,
+                           lagstep=lagstep)
+    jit = soft_symbols_lanes(sig_i, sig_q, lane_w, fine.freq, fine.shift,
+                             drift, iifac=iifac, quickmode=quickmode,
+                             symfac=symfac)
+
+    worth = lane_valid & (fine.sync > minsync1)            # (G,)
+    gate = (jit.sync > minsync2) & (jit.rms > minrms) & worth[None, :]
+
+    lane_f32 = jnp.stack([
+        fine.freq, fine.shift.astype(jnp.float32), fine.sync,
+    ])                                                     # (3, G)
+    # deinterleave on device (pure permutation); (J, G, 162) uint8
+    deint = jit.symbols[:, :, INTERLEAVE_PERM]
+    return lane_f32, gate, deint
+
+
+FANO_BATCH = 512  # static shape of one device Fano call
+
+
+@partial(jax.jit, static_argnames=("delta", "maxcycles"))
+def _fano_batch_packed(deint, valid, *, delta, maxcycles):
+    res = batched_fano(deint, jnp.asarray(_METTAB), delta=delta,
+                       maxcycles=maxcycles, valid=valid)
+    return (res.success & valid), res.data, res.cycles
+
+
+def _fano_rounds(gate: np.ndarray, deint: np.ndarray, delta: int,
+                 dev_maxcycles: int, full_maxcycles: int):
+    """Host-driven FEC: per lane, decode its gate-passing jitters in
+    schedule order until the first success (wsprd/wsprd.c:739-766 "if
+    worth_a_try... break on not_decoded==0"), batching FANO_BATCH
+    attempts per device call across lanes, with hybrid straggler finish.
+
+    gate: bool[J, G]; deint: uint8[J, G, 162].
+    Returns {lane: (jitter idx, data bytes, cycles)} first successes.
+    """
+    J, G = gate.shape
+    pending = {g: [int(j) for j in np.nonzero(gate[:, g])[0]]
+               for g in range(G) if gate[:, g].any()}
+    decoded: dict[int, tuple[int, bytes, int]] = {}
+    while pending:
+        batch: list[tuple[int, int]] = []  # (lane, jitter)
+        for g in sorted(pending):
+            take = pending[g][:max(1, FANO_BATCH // max(len(pending), 1))]
+            for j in take:
+                batch.append((g, j))
+            if len(batch) >= FANO_BATCH:
+                batch = batch[:FANO_BATCH]
+                break
+        n = len(batch)
+        syms = np.zeros((FANO_BATCH, 162), np.uint8)
+        for a, (g, j) in enumerate(batch):
+            syms[a] = deint[j, g]
+        valid = np.zeros(FANO_BATCH, bool)
+        valid[:n] = True
+        succ, data, cycles = (np.asarray(x) for x in _fano_batch_packed(
+            jnp.asarray(syms), jnp.asarray(valid),
+            delta=delta, maxcycles=dev_maxcycles))
+        pend = pending_mask(succ, cycles, dev_maxcycles, full_maxcycles)
+        pend &= valid
+        if pend.any():
+            _LOG.debug("host-finishing %d straggler lanes", int(pend.sum()))
+            succ, data, cycles = host_finish(
+                syms, succ, data, cycles, pend, delta, full_maxcycles)
+        for a, (g, j) in enumerate(batch):
+            if g not in pending:
+                continue  # earlier attempt this round already decoded g
+            pending[g].remove(j)
+            if succ[a] and g not in decoded:
+                decoded[g] = (j, bytes(data[a]), int(cycles[a]))
+                del pending[g]
+            elif not pending[g]:
+                del pending[g]
+    return decoded
+
+
+def _lane_bucket(n: int) -> int:
+    for b in LANE_BUCKETS:
+        if n <= b:
+            return b
+    return LANE_BUCKETS[-1]
+
+
 def _unpack(f32: np.ndarray, i32: np.ndarray, data: np.ndarray,
             deint: np.ndarray) -> ChannelDecode:
     return ChannelDecode(
@@ -248,9 +406,7 @@ def _collect_channel_spots(
     ipass: int,
 ) -> list[tuple[int, str]]:
     """Host side of one channel's pass: first-success-per-candidate,
-    unpack, dedupe; returns (candidate, message) pairs to subtract.
-    Mirrors models/decoder.py and wsprd/wsprd.c:768-822."""
-    new_decodes: list[tuple[int, str]] = []
+    then shared emit. Used by the mesh (ChannelDecode) path."""
     decoded: dict[int, tuple[int, bytes, int]] = {}
     K = out.sel_valid.shape[1]
     for a in range(K):
@@ -260,13 +416,35 @@ def _collect_channel_spots(
         if c not in decoded:
             decoded[c] = (int(out.sel_jit[b, a]), bytes(out.data[b, a]),
                           int(out.cycles[b, a]))
+    tbl = dict(freq=out.freq, sync=out.sync, snr=out.snr,
+               shift=out.shift, drift=out.drift)
+    return _emit_channel_spots(b, decoded, tbl, jit_offs, options, ht,
+                               seen, uniques, ipass)
+
+
+def _emit_channel_spots(
+    b: int,
+    decoded: dict[int, tuple[int, bytes, int]],
+    tbl: dict[str, np.ndarray],
+    jit_offs: np.ndarray,
+    options: DecoderOptions,
+    ht: WsprHashTable,
+    seen: list[tuple[str, float]],
+    uniques: list[Spot],
+    ipass: int,
+) -> list[tuple[int, str]]:
+    """Unpack + dedupe one channel's first-success decodes; returns
+    (candidate, message) pairs to subtract. ``tbl`` holds (B, C)
+    per-candidate arrays. Mirrors models/decoder.py and
+    wsprd/wsprd.c:768-822."""
+    new_decodes: list[tuple[int, str]] = []
     for c in sorted(decoded):
         j, data, cycles = decoded[c]
         msg = unpack_message([x if x < 128 else x - 256 for x in data[:11]],
                              ht)
         if msg is None or msg.loc == "A000AA":
             continue
-        freq_c = float(out.freq[b, c])
+        freq_c = float(tbl["freq"][b, c])
         if any(msg.callsign == s_call and abs(freq_c - s_freq) < 3.0
                for s_call, s_freq in seen):
             continue
@@ -275,10 +453,10 @@ def _collect_channel_spots(
         seen.append((msg.callsign, freq_c))
         uniques.append(Spot(
             freq=options.freq / 1e6 + (1500.0 + freq_c) / 1e6,
-            sync=float(out.sync[b, c]),
-            snr=float(out.snr[b, c]),
-            dt=float(out.shift[b, c]) * DT - 2.0,
-            drift=float(out.drift[b, c]),
+            sync=float(tbl["sync"][b, c]),
+            snr=float(tbl["snr"][b, c]),
+            dt=float(tbl["shift"][b, c]) * DT - 2.0,
+            drift=float(tbl["drift"][b, c]),
             jitter=int(jit_offs[j]),
             message=msg.call_loc_pow,
             call=msg.call, loc=msg.loc, pwr=msg.pwr,
@@ -287,6 +465,169 @@ def _collect_channel_spots(
         if options.subtraction and ipass == 0 and not msg.noprint:
             new_decodes.append((c, msg.call_loc_pow))
     return new_decodes
+
+
+class _DeviceWindows:
+    """Device-resident padded window planes with crash recovery.
+
+    Holds (n_pad, SIGNAL_SAMPLES) planar I/Q on device across passes so
+    subtraction never round-trips the sample data through the host.
+    The ORIGINAL windows stay canonical on host and every subtraction
+    round is logged; if the accelerator worker crashes (observed on
+    tunneled single-chip setups), ``invalidate()`` + next ``arrays``
+    rebuilds the state by re-uploading and replaying the log
+    (SURVEY.md section 5, failure detection / per-window isolation)."""
+
+    def __init__(self, cur_i: np.ndarray, cur_q: np.ndarray,
+                 device_batch: int):
+        B = cur_i.shape[0]
+        self.B = B
+        self.n_pad = -(-B // device_batch) * device_batch
+        self._host_i = np.zeros((self.n_pad, cur_i.shape[1]), np.float32)
+        self._host_q = np.zeros((self.n_pad, cur_q.shape[1]), np.float32)
+        self._host_i[:B] = cur_i
+        self._host_q[:B] = cur_q
+        self._log: list[tuple] = []
+        self._di = self._dq = None
+
+    @property
+    def arrays(self):
+        if self._di is None:
+            self._di = jnp.asarray(self._host_i)
+            self._dq = jnp.asarray(self._host_q)
+            for args in self._log:  # replay after a worker crash
+                self._apply(args)
+        return self._di, self._dq
+
+    def invalidate(self):
+        self._di = self._dq = None
+
+    def subtract(self, bidx, f0, shift, drift, symbols, enable):
+        args = (bidx, f0, shift, drift, symbols, enable)
+        _ = self.arrays  # materialize (replays older rounds) FIRST
+        self._log.append(args)  # then log this round for future replays
+        self._apply(args)
+
+    def _apply(self, args):
+        bidx, f0, shift, drift, symbols, enable = args
+        self._di, self._dq = subtract_rows(
+            self._di, self._dq, jnp.asarray(bidx), jnp.asarray(f0),
+            jnp.asarray(shift), jnp.asarray(drift), jnp.asarray(symbols),
+            jnp.asarray(enable))
+
+
+def _staged_pass(
+    dw: _DeviceWindows,
+    active: list[int],
+    maxdrift_val: int,
+    kw: dict,
+    device_batch: int,
+    options: DecoderOptions,
+):
+    """One pass of the staged single-device path: chunked stage A
+    (per-window search, dispatched async), host lane compaction
+    restricted to the ``active`` windows, stage B per lane bucket,
+    host-driven FEC rounds. Returns (decoded_by_b, tbl):
+    decoded_by_b[b][c] = (jitter idx, data bytes, cycles) first-success
+    decodes; tbl = (B, C) per-candidate arrays for spot fields (fine
+    values at decoded lanes, coarse elsewhere)."""
+    B = dw.B
+    C = MAX_CANDIDATES
+    n_pad = dw.n_pad
+    md = jnp.full((device_batch,), maxdrift_val, jnp.int32)
+
+    # ---- stage A: dispatch every chunk, then fetch (async overlap) ----
+    sA = np.zeros((n_pad, 5, C), np.float32)
+    for attempt in range(3):
+        try:
+            sig_i, sig_q = dw.arrays
+            refs = [(c0, _stage_a_packed(
+                sig_i[c0:c0 + device_batch], sig_q[c0:c0 + device_batch],
+                md, fmin=kw["fmin"], fmax=kw["fmax"]))
+                for c0 in range(0, n_pad, device_batch)]
+            for c0, ref in refs:
+                sA[c0:c0 + device_batch] = np.asarray(ref)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            _LOG.warning("stage A crashed (attempt %d): %s",
+                         attempt, str(e)[:80])
+            if attempt == 2:
+                raise
+            time.sleep(5.0 * (attempt + 1))
+            dw.invalidate()  # worker restarted: re-upload + replay
+            md = jnp.full((device_batch,), maxdrift_val, jnp.int32)
+    sA = sA[:B]
+    _LOG.debug("stage A done (%d windows)", B)
+
+    valid_a = sA[:, 1] != 0.0
+    tbl = {
+        "snr": sA[:, 0].copy(), "freq": sA[:, 2].copy(),
+        "sync": np.zeros((B, C), np.float32),
+        "shift": sA[:, 3].copy(), "drift": sA[:, 4].copy(),
+    }  # fine values overwrite freq/shift/sync at processed lanes
+
+    decoded_by_b: dict[int, dict[int, tuple[int, bytes, int]]] = {
+        b: {} for b in range(B)}
+    active_mask = np.zeros(B, bool)
+    active_mask[active] = True
+    # lanes: window-major, SNR-desc within window, active windows only
+    wa, cc = np.nonzero(valid_a & active_mask[:, None])
+    G = wa.size
+    if G == 0:
+        return decoded_by_b, tbl
+    _LOG.debug("stage B: %d lanes over %d active windows", G, len(active))
+
+    b_kw = {k: kw[k] for k in (
+        "lagstep", "iifac", "quickmode", "symfac", "minsync1", "minsync2",
+        "minrms")}
+
+    for l0 in range(0, G, LANE_BUCKETS[-1]):
+        l1 = min(l0 + LANE_BUCKETS[-1], G)
+        n = l1 - l0
+        bucket = _lane_bucket(n)
+        sel_w = wa[l0:l1]
+        sel_c = cc[l0:l1]
+        lw = np.zeros(bucket, np.int32)
+        lf = np.zeros(bucket, np.float32)
+        ls = np.zeros(bucket, np.int32)
+        ld = np.zeros(bucket, np.float32)
+        lv = np.zeros(bucket, bool)
+        lw[:n] = sel_w
+        lf[:n] = sA[sel_w, 2, sel_c]
+        ls[:n] = sA[sel_w, 3, sel_c].astype(np.int32)
+        ld[:n] = sA[sel_w, 4, sel_c]
+        lv[:n] = True
+        for attempt in range(3):
+            try:
+                sig_i, sig_q = dw.arrays
+                pk = _stage_b_packed(
+                    sig_i, sig_q, jnp.asarray(lw), jnp.asarray(lf),
+                    jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
+                    **b_kw)
+                lane_f32, gate, deint = (np.asarray(x) for x in pk)
+                _LOG.debug("stage B fetch done")
+                break
+            except jax.errors.JaxRuntimeError as e:
+                _LOG.warning("stage B crashed (lanes %d:%d, attempt %d): %s",
+                             l0, l1, attempt, str(e)[:80])
+                if attempt == 2:
+                    raise
+                time.sleep(5.0 * (attempt + 1))
+                dw.invalidate()  # worker restarted: re-upload + replay
+
+        # fine sync values into the spot table at lane positions
+        tbl["freq"][sel_w, sel_c] = lane_f32[0, :n]
+        tbl["shift"][sel_w, sel_c] = lane_f32[1, :n]
+        tbl["sync"][sel_w, sel_c] = lane_f32[2, :n]
+
+        # host-driven FEC rounds: per lane, first success in jitter
+        # schedule order (hybrid device budget + native stragglers)
+        decoded = _fano_rounds(gate[:, :n], deint[:, :n], options.delta,
+                               kw["maxcycles"], options.maxcycles)
+        _LOG.debug("fano rounds done (%d decodes)", len(decoded))
+        for g, (j, data, cycles) in decoded.items():
+            decoded_by_b[int(sel_w[g])][int(sel_c[g])] = (j, data, cycles)
+    return decoded_by_b, tbl
 
 
 def decode_channels(
@@ -307,25 +648,25 @@ def decode_channels(
     descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    # canonical window state lives on HOST: if the accelerator worker
-    # crashes mid-batch (observed on tunneled single-chip setups), the
-    # chunk retries below re-upload and continue (SURVEY.md section 5,
-    # failure detection / per-window isolation)
-    cur_i = np.asarray(i_windows, np.float32)
-    cur_q = np.asarray(q_windows, np.float32)
+    # np.array (copy): the mesh path's subtraction writes into these,
+    # and the caller's buffers must never be mutated; the staged path
+    # keeps windows device-resident (_DeviceWindows) with the originals
+    # canonical on host for crash replay
+    cur_i = np.array(i_windows, np.float32)
+    cur_q = np.array(q_windows, np.float32)
     assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
     assert cur_i.shape == cur_q.shape
     B = cur_i.shape[0]
 
     def upload():
-        si = jnp.asarray(cur_i)
-        sq = jnp.asarray(cur_q)
-        if sharding is not None:
-            si = jax.device_put(si, sharding)
-            sq = jax.device_put(sq, sharding)
+        si = jax.device_put(jnp.asarray(cur_i), sharding)
+        sq = jax.device_put(jnp.asarray(cur_q), sharding)
         return si, sq
 
-    sig_i, sig_q = upload()
+    sig_i = sig_q = None
+    dw = None
+    if sharding is not None:
+        sig_i, sig_q = upload()
 
     lagstep = 16 if options.quickmode else 8
     jit_offs = jitter_offsets(options.iifac, options.quickmode)
@@ -346,55 +687,25 @@ def decode_channels(
     for ipass in range(options.npasses):
         if ipass == 1 and not any(uniques):
             break  # wsprd/wsprd.c:522 (per-batch: nothing to subtract)
-        maxdrift = np.full((B,), options.maxdrift if ipass < 2 else 0,
-                           np.int32)
-        md = jnp.asarray(maxdrift)
+        maxdrift_val = options.maxdrift if ipass < 2 else 0
         if sharding is not None:
             # mesh path: one call, channels sharded over devices (the
             # per-device slice is the memory unit)
-            md = jax.device_put(md, sharding)
+            md = jax.device_put(jnp.full((B,), maxdrift_val, jnp.int32),
+                                sharding)
             pk = _decode_device_packed(sig_i, sig_q, md, **kw)
             out = _unpack(*(np.asarray(a) for a in pk))
+            out = _finish_stragglers(out, options)
+            tbl = None
         else:
-            # single device: bound HBM by decoding fixed-size
-            # sub-batches (one compiled executable for any B; the last
-            # chunk is padded with copies of channel 0 and discarded),
-            # with crash-isolation retries per chunk
-            packs = []
-            for c0 in range(0, B, device_batch):
-                c1 = min(c0 + device_batch, B)
-                pad = device_batch - (c1 - c0)
-                for attempt in range(3):
-                    try:
-                        ci = jnp.concatenate(
-                            [sig_i[c0:c1],
-                             jnp.repeat(sig_i[:1], pad, axis=0)]) \
-                            if pad else sig_i[c0:c1]
-                        cq = jnp.concatenate(
-                            [sig_q[c0:c1],
-                             jnp.repeat(sig_q[:1], pad, axis=0)]) \
-                            if pad else sig_q[c0:c1]
-                        cm = jnp.concatenate(
-                            [md[c0:c1], jnp.repeat(md[:1], pad, axis=0)]) \
-                            if pad else md[c0:c1]
-                        _LOG.debug("pass %d chunk %d dispatch", ipass, c0)
-                        pk = _decode_device_packed(ci, cq, cm, **kw)
-                        packs.append(tuple(np.asarray(a)[:c1 - c0]
-                                           for a in pk))
-                        _LOG.debug("pass %d chunk %d done", ipass, c0)
-                        break
-                    except jax.errors.JaxRuntimeError as e:
-                        _LOG.warning("device chunk crashed (pass %d, "
-                                     "chunk %d, attempt %d): %s",
-                                     ipass, c0, attempt, str(e)[:80])
-                        if attempt == 2:
-                            raise
-                        time.sleep(5.0 * (attempt + 1))
-                        sig_i, sig_q = upload()  # worker restarted
-                        md = jnp.asarray(maxdrift)
-            out = _unpack(*(np.concatenate(parts, axis=0)
-                            for parts in zip(*packs)))
-        out = _finish_stragglers(out, options)
+            # staged single-device path: per-window search, then
+            # lane-compacted refinement (pass 1 re-decodes only the
+            # channels whose pass 0 found something, wsprd/wsprd.c:522)
+            if dw is None:
+                dw = _DeviceWindows(cur_i, cur_q, device_batch)
+            active = [b for b in range(B) if ipass == 0 or uniques[b]]
+            decoded_by_b, tbl = _staged_pass(
+                dw, active, maxdrift_val, kw, device_batch, options)
 
         # collect this pass's new decodes per channel, then subtract in
         # vmapped ROUNDS: round r applies each channel's r-th decode
@@ -404,15 +715,24 @@ def decode_channels(
         for b in range(B):
             if ipass == 1 and not uniques[b]:
                 continue  # this channel's pass 0 was empty (wsprd.c:522)
-            new_decodes = _collect_channel_spots(
-                b, out, jit_offs, options, ht, seen[b], uniques[b], ipass)
+            if tbl is None:
+                new_decodes = _collect_channel_spots(
+                    b, out, jit_offs, options, ht, seen[b], uniques[b],
+                    ipass)
+                freq_s, shift_s, drift_s = out.freq, out.shift, out.drift
+            else:
+                new_decodes = _emit_channel_spots(
+                    b, decoded_by_b[b], tbl, jit_offs, options, ht,
+                    seen[b], uniques[b], ipass)
+                freq_s, shift_s, drift_s = (
+                    tbl["freq"], tbl["shift"], tbl["drift"])
             for c, call_loc_pow in new_decodes:
                 chan_syms = get_wspr_channel_symbols(call_loc_pow, ht)
                 if chan_syms is None:
                     continue
                 subs.setdefault(b, []).append((
-                    float(out.freq[b, c]), int(out.shift[b, c]),
-                    float(out.drift[b, c]),
+                    float(freq_s[b, c]), int(shift_s[b, c]),
+                    float(drift_s[b, c]),
                     np.asarray(chan_syms, np.uint8)))
         if subs:
             n_rounds = max(len(v) for v in subs.values())
@@ -427,25 +747,32 @@ def decode_channels(
                     n = len(grp)
                     pad = lane_n - n
                     bidx = np.array([g[0] for g in grp] + [0] * pad)
+                    f0s = np.array([g[1] for g in grp] + [0.0] * pad,
+                                   np.float32)
+                    shs = np.array([g[2] for g in grp] + [0] * pad, np.int32)
+                    drs = np.array([g[3] for g in grp] + [0.0] * pad,
+                                   np.float32)
+                    syms = np.stack([g[4] for g in grp]
+                                    + [np.zeros(162, np.uint8)] * pad)
+                    en = np.array([True] * n + [False] * pad)
+                    if sharding is None:
+                        # device-resident rows: no sample round-trip
+                        dw.subtract(bidx.astype(np.int32), f0s, shs, drs,
+                                    syms, en)
+                        continue
                     ni, nq = subtract_signal2_many(
                         jnp.asarray(cur_i[bidx]), jnp.asarray(cur_q[bidx]),
-                        jnp.asarray(np.array(
-                            [g[1] for g in grp] + [0.0] * pad, np.float32)),
-                        jnp.asarray(np.array(
-                            [g[2] for g in grp] + [0] * pad, np.int32)),
-                        jnp.asarray(np.array(
-                            [g[3] for g in grp] + [0.0] * pad, np.float32)),
-                        jnp.asarray(np.stack(
-                            [g[4] for g in grp]
-                            + [np.zeros(162, np.uint8)] * pad)),
-                        jnp.asarray(np.array([True] * n + [False] * pad)),
+                        jnp.asarray(f0s), jnp.asarray(shs), jnp.asarray(drs),
+                        jnp.asarray(syms), jnp.asarray(en),
                     )
                     ni = np.asarray(ni)
                     nq = np.asarray(nq)
                     for k in range(n):
                         cur_i[bidx[k]] = ni[k]
                         cur_q[bidx[k]] = nq[k]
-            sig_i, sig_q = upload()
+            _LOG.debug("subtraction done")
+            if sharding is not None:
+                sig_i, sig_q = upload()
 
     for b in range(B):
         uniques[b].sort(key=lambda s: -s.snr)

@@ -58,6 +58,22 @@ def test_multichannel_matches_single_window(batch3):
             assert sb.dt == pytest.approx(ss.dt, abs=0.01)
 
 
+def test_decode_channels_does_not_mutate_inputs(batch3):
+    """Subtraction between passes must write to an internal copy, never
+    the caller's arrays (regression: float32 inputs were aliased and
+    subtracted in place, so a second decode of the same windows found
+    nothing)."""
+    options = DecoderOptions(quickmode=True)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    wi0, wq0 = wi.copy(), wq.copy()
+    first = decode_channels(wi, wq, options, device_batch=3)
+    assert np.array_equal(wi, wi0) and np.array_equal(wq, wq0)
+    again = decode_channels(wi, wq, options, device_batch=3)
+    assert ([sorted((s.call, s.loc, s.pwr) for s in ch) for ch in again]
+            == [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in first])
+
+
 def test_multichannel_sharded_over_mesh(batch3):
     """Sharded and unsharded device steps produce identical arrays.
 
