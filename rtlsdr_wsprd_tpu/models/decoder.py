@@ -262,19 +262,34 @@ def decode_window(
 
 
 class WsprDecoder:
-    """Stateful wrapper owning options + the persistent hashtable."""
+    """Stateful wrapper owning options + the persistent hashtable.
+
+    ``staged=True`` (default) routes through the lane-compacted staged
+    path (parallel.multichannel.decode_channels with B=1) — the fast
+    production program; ``staged=False`` keeps the dense per-window
+    reference formulation (decode_window), the parity anchor."""
 
     def __init__(self, options: DecoderOptions = DecoderOptions(),
-                 hashtable_path: str = "hashtable.txt"):
+                 hashtable_path: str = "hashtable.txt",
+                 staged: bool = True):
         self.options = options
         self.hashtable_path = hashtable_path
+        self.staged = staged
         if options.usehashtable:
             self.hashtable = WsprHashTable.load(hashtable_path)
         else:
             self.hashtable = WsprHashTable()
 
-    def decode(self, i_samples: np.ndarray, q_samples: np.ndarray) -> list[Spot]:
-        spots = decode_window(i_samples, q_samples, self.options, self.hashtable)
+    def decode(self, i_samples: np.ndarray,
+               q_samples: np.ndarray) -> list[Spot]:
+        if self.staged:
+            from ..parallel.multichannel import decode_channels
+            spots = decode_channels(
+                i_samples[None, :], q_samples[None, :], self.options,
+                self.hashtable, device_batch=1)[0]
+        else:
+            spots = decode_window(i_samples, q_samples, self.options,
+                                  self.hashtable)
         if self.options.usehashtable:
             self.hashtable.save(self.hashtable_path)
         return spots

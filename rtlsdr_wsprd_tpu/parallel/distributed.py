@@ -60,3 +60,25 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // n
     r = jax.process_index()
     return slice(r * per, (r + 1) * per)
+
+
+def decode_local_shard(i_windows, q_windows, options=None, hashtable=None,
+                       device_batch: int = 64):
+    """Production multi-host decode: THIS host's channels through the
+    staged single-device path (parallel.multichannel decode_channels).
+
+    WSPR decode is embarrassingly parallel per window (SURVEY.md
+    section 5), so the fastest multi-host architecture is no mesh
+    program at all: every host ingests its own channels, decodes them
+    on its local chip(s) with the lane-compacted staged path, and only
+    the tiny spot lists ever touch the network (to wsprnet, or to an
+    aggregator). Collectives would only add latency. Call
+    ``initialize()`` first if chips are physically one pod slice.
+    """
+    from ..config import DecoderOptions
+    from .multichannel import decode_channels
+
+    if options is None:
+        options = DecoderOptions()
+    return decode_channels(i_windows, q_windows, options, hashtable,
+                           device_batch=device_batch)

@@ -1,0 +1,139 @@
+"""Unit tests for the staged decode machinery: lane-compacted sync
+variants, host-driven FEC rounds, and device-resident window state."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rtlsdr_wsprd_tpu.ops.fano import build_mettab
+from rtlsdr_wsprd_tpu.ops.subtract import subtract_rows, subtract_signal2
+from rtlsdr_wsprd_tpu.ops.sync import (
+    fine_sync,
+    fine_sync_lanes,
+    soft_symbols_jittered,
+    soft_symbols_lanes,
+)
+from rtlsdr_wsprd_tpu.parallel.multichannel import (
+    _DeviceWindows,
+    _fano_rounds,
+)
+from rtlsdr_wsprd_tpu.utils.channel import (
+    INTERLEAVE_PERM,
+    get_wspr_channel_symbols,
+)
+from rtlsdr_wsprd_tpu.utils.hashtable import WsprHashTable
+
+_METTAB = build_mettab()
+
+
+def test_lane_variants_match_per_window(rng):
+    """fine_sync_lanes / soft_symbols_lanes over cross-window lanes must
+    equal the per-window forms exactly (same slices, same einsums)."""
+    B = 2
+    sig_i = jnp.asarray(rng.normal(0, .1, (B, 45000)).astype(np.float32))
+    sig_q = jnp.asarray(rng.normal(0, .1, (B, 45000)).astype(np.float32))
+    lane_w = jnp.asarray(np.repeat(np.arange(B), 2).astype(np.int32))
+    freq = jnp.asarray(np.linspace(-80, 90, 2 * B).astype(np.float32))
+    shift = jnp.asarray((np.arange(2 * B) * 313 - 500).astype(np.int32))
+    drift = jnp.asarray(np.linspace(-2, 2, 2 * B).astype(np.float32))
+
+    fl = fine_sync_lanes(sig_i, sig_q, lane_w, freq, shift, drift, lagstep=16)
+    jl = soft_symbols_lanes(sig_i, sig_q, lane_w, fl.freq, fl.shift, drift,
+                            quickmode=True)
+    for b in range(B):
+        m = np.asarray(lane_w) == b
+        fw = fine_sync(sig_i[b], sig_q[b], freq[m], shift[m], drift[m],
+                       lagstep=16)
+        jw = soft_symbols_jittered(sig_i[b], sig_q[b], fw.freq, fw.shift,
+                                   drift[m], quickmode=True)
+        assert np.array_equal(np.asarray(fl.shift)[m], np.asarray(fw.shift))
+        assert np.allclose(np.asarray(fl.freq)[m], np.asarray(fw.freq))
+        assert np.allclose(np.asarray(fl.sync)[m], np.asarray(fw.sync),
+                           rtol=1e-6)
+        assert np.array_equal(np.asarray(jl.symbols)[:, m],
+                              np.asarray(jw.symbols))
+
+
+def _hard_symbols(message: str) -> np.ndarray:
+    """Deinterleaved 0/255 soft symbols of a clean encoding."""
+    chan = get_wspr_channel_symbols(message, WsprHashTable())
+    soft = np.where(chan >= 2, 255, 0).astype(np.uint8)  # data bit = sym>>1
+    return soft[np.asarray(INTERLEAVE_PERM)]
+
+
+def test_fano_rounds_first_success_in_jitter_order():
+    """Two gate-passing jitters both decodable: the FIRST in schedule
+    order must win (wsprd/wsprd.c:739-766 break-on-success)."""
+    J, G = 4, 3
+    good = _hard_symbols("K1JT FN20 37")
+    noise = np.random.default_rng(5).integers(
+        120, 136, (162,)).astype(np.uint8)  # undecodable mush
+    deint = np.zeros((J, G, 162), np.uint8)
+    gate = np.zeros((J, G), bool)
+    # lane 0: jitters 1 and 3 pass the gate, both decodable
+    deint[1, 0] = good
+    deint[3, 0] = good
+    gate[[1, 3], 0] = True
+    # lane 1: jitter 0 passes but is garbage, jitter 2 decodable
+    deint[0, 1] = noise
+    deint[2, 1] = good
+    gate[[0, 2], 1] = True
+    # lane 2: nothing passes
+    decoded = _fano_rounds(gate, deint, delta=60, dev_maxcycles=16,
+                           full_maxcycles=10000)
+    assert set(decoded) == {0, 1}
+    assert decoded[0][0] == 1   # first gate-passing jitter wins
+    assert decoded[1][0] == 2   # garbage attempt fails, next succeeds
+    assert decoded[0][1] == decoded[1][1]  # same message bytes
+
+
+def test_device_windows_replay_reproduces_state(rng):
+    """After invalidate() (simulated worker crash) the replay log must
+    rebuild the exact post-subtraction device state."""
+    B = 3
+    cur_i = rng.normal(0, .1, (B, 45000)).astype(np.float32)
+    cur_q = rng.normal(0, .1, (B, 45000)).astype(np.float32)
+    dw = _DeviceWindows(cur_i, cur_q, device_batch=3)
+    syms = get_wspr_channel_symbols("K1JT FN20 37", WsprHashTable())
+    dw.subtract(np.array([1, 0, 0], np.int32),
+                np.array([12.0, 0, 0], np.float32),
+                np.array([400, 0, 0], np.int32),
+                np.array([0.5, 0, 0], np.float32),
+                np.stack([syms, np.zeros(162, np.uint8),
+                          np.zeros(162, np.uint8)]),
+                np.array([True, False, False]))
+    before_i = np.asarray(dw.arrays[0])
+    dw.invalidate()
+    after_i = np.asarray(dw.arrays[0])  # re-upload + replay
+    assert np.array_equal(before_i, after_i)
+    # row 1 actually changed vs the original; rows 0/2 untouched
+    assert not np.allclose(before_i[1], cur_i[1])
+    assert np.array_equal(before_i[0], cur_i[0])
+    assert np.array_equal(before_i[2], cur_i[2])
+    # and the subtraction row matches the reference-form single call
+    ni, _ = subtract_signal2(
+        jnp.asarray(cur_i[1]), jnp.asarray(cur_q[1]), jnp.float32(12.0),
+        jnp.int32(400), jnp.float32(0.5), jnp.asarray(syms))
+    assert np.allclose(before_i[1], np.asarray(ni), atol=1e-6)
+
+
+def test_subtract_rows_padding_shares_row_safely(rng):
+    """A disabled padding lane pointing at a row that an ENABLED lane
+    updates must not clobber the update (delta-add scatter)."""
+    B = 2
+    cur_i = rng.normal(0, .1, (B, 45000)).astype(np.float32)
+    cur_q = rng.normal(0, .1, (B, 45000)).astype(np.float32)
+    syms = get_wspr_channel_symbols("K1JT FN20 37", WsprHashTable())
+    out_i, _ = subtract_rows(
+        jnp.asarray(cur_i), jnp.asarray(cur_q),
+        jnp.asarray(np.array([0, 0], np.int32)),  # pad shares row 0
+        jnp.asarray(np.array([12.0, 0.0], np.float32)),
+        jnp.asarray(np.array([400, 0], np.int32)),
+        jnp.asarray(np.array([0.5, 0.0], np.float32)),
+        jnp.asarray(np.stack([syms, np.zeros(162, np.uint8)])),
+        jnp.asarray(np.array([True, False])),
+    )
+    ni, _ = subtract_signal2(
+        jnp.asarray(cur_i[0]), jnp.asarray(cur_q[0]), jnp.float32(12.0),
+        jnp.int32(400), jnp.float32(0.5), jnp.asarray(syms))
+    assert np.allclose(np.asarray(out_i)[0], np.asarray(ni), atol=1e-6)
+    assert np.array_equal(np.asarray(out_i)[1], cur_i[1])
