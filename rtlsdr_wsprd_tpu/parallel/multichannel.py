@@ -243,7 +243,7 @@ def _decode_device_packed(sig_i, sig_q, maxdrift, **kw):
 # candidate across the whole batch into a short lane axis and stage B
 # runs the expensive correlator/FEC machinery on just those lanes.
 
-LANE_BUCKETS = (16, 64, 256, 1024)  # static stage-B lane shapes
+LANE_BUCKETS = (16, 64, 256, 512, 1024)  # static stage-B lane shapes
 
 
 @partial(jax.jit, static_argnames=("fmin", "fmax"))
@@ -467,6 +467,14 @@ def _emit_channel_spots(
     return new_decodes
 
 
+_I16_SCALE = np.float32(65534.0)  # windows are -3 dB normalized (±0.5)
+
+
+@jax.jit
+def _dequant_i16(xi16: jnp.ndarray) -> jnp.ndarray:
+    return xi16.astype(jnp.float32) * (1.0 / _I16_SCALE)
+
+
 class _DeviceWindows:
     """Device-resident padded window planes with crash recovery.
 
@@ -476,25 +484,44 @@ class _DeviceWindows:
     round is logged; if the accelerator worker crashes (observed on
     tunneled single-chip setups), ``invalidate()`` + next ``arrays``
     rebuilds the state by re-uploading and replaying the log
-    (SURVEY.md section 5, failure detection / per-window isolation)."""
+    (SURVEY.md section 5, failure detection / per-window isolation).
+
+    Transfer format: windows are -3 dB peak-normalized (±0.5,
+    rtlsdr_wsprd.c:291-305), so by default they cross the host->device
+    link as int16 at half the bytes and dequantize on device (one
+    fused cast); the ±7.6e-6 rounding error is -96 dB below the signal
+    — far beyond an 8-bit SDR's dynamic range and unobservable at
+    message level. ``transfer_dtype='float32'`` keeps exact samples."""
 
     def __init__(self, cur_i: np.ndarray, cur_q: np.ndarray,
-                 device_batch: int):
+                 device_batch: int, transfer_dtype: str = "int16"):
         B = cur_i.shape[0]
         self.B = B
         self.n_pad = -(-B // device_batch) * device_batch
-        self._host_i = np.zeros((self.n_pad, cur_i.shape[1]), np.float32)
-        self._host_q = np.zeros((self.n_pad, cur_q.shape[1]), np.float32)
-        self._host_i[:B] = cur_i
-        self._host_q[:B] = cur_q
+        self._i16 = transfer_dtype == "int16"
+        dt = np.int16 if self._i16 else np.float32
+        self._host_i = np.zeros((self.n_pad, cur_i.shape[1]), dt)
+        self._host_q = np.zeros((self.n_pad, cur_q.shape[1]), dt)
+        if self._i16:
+            self._host_i[:B] = np.clip(
+                np.rint(cur_i * _I16_SCALE), -32767, 32767)
+            self._host_q[:B] = np.clip(
+                np.rint(cur_q * _I16_SCALE), -32767, 32767)
+        else:
+            self._host_i[:B] = cur_i
+            self._host_q[:B] = cur_q
         self._log: list[tuple] = []
         self._di = self._dq = None
 
     @property
     def arrays(self):
         if self._di is None:
-            self._di = jnp.asarray(self._host_i)
-            self._dq = jnp.asarray(self._host_q)
+            if self._i16:
+                self._di = _dequant_i16(jnp.asarray(self._host_i))
+                self._dq = _dequant_i16(jnp.asarray(self._host_q))
+            else:
+                self._di = jnp.asarray(self._host_i)
+                self._dq = jnp.asarray(self._host_q)
             for args in self._log:  # replay after a worker crash
                 self._apply(args)
         return self._di, self._dq
@@ -638,25 +665,30 @@ def decode_channels(
     sharding=None,
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
     device_batch: int = 8,
+    transfer_dtype: str = "int16",
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
     i_windows/q_windows: float32[B, SIGNAL_SAMPLES] planar I/Q (already
     -3 dB normalized). ``sharding``: optional NamedSharding for the
     channel axis (see parallel.mesh.channel_sharding); None runs on the
-    default device. Returns per-channel Spot lists, each sorted by SNR
-    descending.
+    default device. ``transfer_dtype``: host->device sample format of
+    the staged path (see _DeviceWindows; 'float32' for exact transfer).
+    Returns per-channel Spot lists, each sorted by SNR descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    # np.array (copy): the mesh path's subtraction writes into these,
-    # and the caller's buffers must never be mutated; the staged path
-    # keeps windows device-resident (_DeviceWindows) with the originals
-    # canonical on host for crash replay
-    cur_i = np.array(i_windows, np.float32)
-    cur_q = np.array(q_windows, np.float32)
+    cur_i = np.asarray(i_windows, np.float32)
+    cur_q = np.asarray(q_windows, np.float32)
     assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
     assert cur_i.shape == cur_q.shape
     B = cur_i.shape[0]
+    if sharding is not None:
+        # mutable COPIES: the mesh path's subtraction writes into these
+        # and the caller's buffers must never be mutated. The staged
+        # path never mutates (device-resident subtraction) so it reads
+        # the caller's arrays directly.
+        cur_i = np.array(cur_i)
+        cur_q = np.array(cur_q)
 
     def upload():
         si = jax.device_put(jnp.asarray(cur_i), sharding)
@@ -702,7 +734,8 @@ def decode_channels(
             # lane-compacted refinement (pass 1 re-decodes only the
             # channels whose pass 0 found something, wsprd/wsprd.c:522)
             if dw is None:
-                dw = _DeviceWindows(cur_i, cur_q, device_batch)
+                dw = _DeviceWindows(cur_i, cur_q, device_batch,
+                                    transfer_dtype=transfer_dtype)
             active = [b for b in range(B) if ipass == 0 or uniques[b]]
             decoded_by_b, tbl = _staged_pass(
                 dw, active, maxdrift_val, kw, device_batch, options)

@@ -92,7 +92,11 @@ def test_device_windows_replay_reproduces_state(rng):
     B = 3
     cur_i = rng.normal(0, .1, (B, 45000)).astype(np.float32)
     cur_q = rng.normal(0, .1, (B, 45000)).astype(np.float32)
-    dw = _DeviceWindows(cur_i, cur_q, device_batch=3)
+    # float32 transfer: exact-equality assertions below; the default
+    # int16 transfer path is covered by the decode-level parity tests
+    # (it quantizes at -96 dB, so exact row equality doesn't hold)
+    dw = _DeviceWindows(cur_i, cur_q, device_batch=3,
+                        transfer_dtype="float32")
     syms = get_wspr_channel_symbols("K1JT FN20 37", WsprHashTable())
     dw.subtract(np.array([1, 0, 0], np.int32),
                 np.array([12.0, 0, 0], np.float32),
