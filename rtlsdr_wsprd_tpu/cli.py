@@ -19,9 +19,7 @@ import signal
 import sys
 import time
 
-# NB: the persistent JAX compilation cache is deliberately NOT enabled
-# here — deserializing cached executables crashes tunneled TPU workers
-# (tests enable it for the CPU backend only, tests/conftest.py).
+import os
 
 import numpy as np
 
@@ -35,6 +33,19 @@ from .runtime.reporting import (
     format_table_line,
 )
 from .runtime.scheduler import WsprDaemon
+# Persistent compile cache (the reference's FFTW-wisdom analog,
+# wsprd/wsprd.c:503-507): enabled on real TPU hosts; deliberately NOT
+# on tunneled "axon" workers, where executable deserialization has
+# crashed the worker (tests enable it for CPU in tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "") != "axon":
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("RTLSDR_WSPRD_TPU_CACHE",
+                       os.path.expanduser("~/.cache/rtlsdr_wsprd_tpu/jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from .runtime.sources import (
     IQFileSource,
     RtlTcpSource,
@@ -275,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
             reporter.flush()
     finally:
         source.close()
+        st = daemon.stats
+        up = time.time() - st.started
+        print(f"Session: {st.windows} windows, {st.spots} spots, "
+              f"{st.errors} errors, decode {st.decode_seconds:.1f} s, "
+              f"uptime {up:.0f} s")
     return 0
 
 

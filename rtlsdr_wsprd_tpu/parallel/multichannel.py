@@ -503,10 +503,12 @@ class _DeviceWindows:
         self._host_i = np.zeros((self.n_pad, cur_i.shape[1]), dt)
         self._host_q = np.zeros((self.n_pad, cur_q.shape[1]), dt)
         if self._i16:
-            self._host_i[:B] = np.clip(
-                np.rint(cur_i * _I16_SCALE), -32767, 32767)
-            self._host_q[:B] = np.clip(
-                np.rint(cur_q * _I16_SCALE), -32767, 32767)
+            # nan_to_num: garbage windows must quantize silently; the
+            # decode itself is per-window failure-isolated
+            self._host_i[:B] = np.clip(np.nan_to_num(
+                np.rint(cur_i * _I16_SCALE)), -32767, 32767)
+            self._host_q[:B] = np.clip(np.nan_to_num(
+                np.rint(cur_q * _I16_SCALE)), -32767, 32767)
         else:
             self._host_i[:B] = cur_i
             self._host_q[:B] = cur_q
@@ -720,6 +722,9 @@ def decode_channels(
         if ipass == 1 and not any(uniques):
             break  # wsprd/wsprd.c:522 (per-batch: nothing to subtract)
         maxdrift_val = options.maxdrift if ipass < 2 else 0
+        # third-and-later passes relax minsync2 to 0.10 and freeze
+        # drift (wsprd/wsprd.c:528-531; dead under default npasses=2)
+        kw = dict(kw, minsync2=options.minsync2 if ipass < 2 else 0.10)
         if sharding is not None:
             # mesh path: one call, channels sharded over devices (the
             # per-device slice is the memory unit)
