@@ -15,6 +15,7 @@ from .mesh import channel_sharding, local_mesh, make_mesh, replicated
 from .multichannel import (
     ChannelDecode,
     decode_channels,
+    decode_channels_multidevice,
     multichannel_decode_device,
 )
 from .streaming import decimate_stage1_sharded
@@ -26,6 +27,7 @@ __all__ = [
     "replicated",
     "ChannelDecode",
     "decode_channels",
+    "decode_channels_multidevice",
     "multichannel_decode_device",
     "decimate_stage1_sharded",
     "distributed",

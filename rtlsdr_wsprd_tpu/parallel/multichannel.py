@@ -305,7 +305,7 @@ def _fano_batch_packed(deint, valid, *, delta, maxcycles):
 
 
 def _fano_rounds(gate: np.ndarray, deint: np.ndarray, delta: int,
-                 dev_maxcycles: int, full_maxcycles: int):
+                 dev_maxcycles: int, full_maxcycles: int, device=None):
     """Host-driven FEC: per lane, decode its gate-passing jitters in
     schedule order until the first success (wsprd/wsprd.c:739-766 "if
     worth_a_try... break on not_decoded==0"), batching FANO_BATCH
@@ -333,9 +333,12 @@ def _fano_rounds(gate: np.ndarray, deint: np.ndarray, delta: int,
             syms[a] = deint[j, g]
         valid = np.zeros(FANO_BATCH, bool)
         valid[:n] = True
+        dsyms = (jax.device_put(syms, device) if device is not None
+                 else jnp.asarray(syms))
+        dvalid = (jax.device_put(valid, device) if device is not None
+                  else jnp.asarray(valid))
         succ, data, cycles = (np.asarray(x) for x in _fano_batch_packed(
-            jnp.asarray(syms), jnp.asarray(valid),
-            delta=delta, maxcycles=dev_maxcycles))
+            dsyms, dvalid, delta=delta, maxcycles=dev_maxcycles))
         pend = pending_mask(succ, cycles, dev_maxcycles, full_maxcycles)
         pend &= valid
         if pend.any():
@@ -494,7 +497,9 @@ class _DeviceWindows:
     message level. ``transfer_dtype='float32'`` keeps exact samples."""
 
     def __init__(self, cur_i: np.ndarray, cur_q: np.ndarray,
-                 device_batch: int, transfer_dtype: str = "int16"):
+                 device_batch: int, transfer_dtype: str = "int16",
+                 device=None):
+        self.device = device
         B = cur_i.shape[0]
         self.B = B
         self.n_pad = -(-B // device_batch) * device_batch
@@ -518,12 +523,15 @@ class _DeviceWindows:
     @property
     def arrays(self):
         if self._di is None:
+            def put(x):
+                return (jax.device_put(x, self.device)
+                        if self.device is not None else jnp.asarray(x))
             if self._i16:
-                self._di = _dequant_i16(jnp.asarray(self._host_i))
-                self._dq = _dequant_i16(jnp.asarray(self._host_q))
+                self._di = _dequant_i16(put(self._host_i))
+                self._dq = _dequant_i16(put(self._host_q))
             else:
-                self._di = jnp.asarray(self._host_i)
-                self._dq = jnp.asarray(self._host_q)
+                self._di = put(self._host_i)
+                self._dq = put(self._host_q)
             for args in self._log:  # replay after a worker crash
                 self._apply(args)
         return self._di, self._dq
@@ -652,7 +660,8 @@ def _staged_pass(
         # host-driven FEC rounds: per lane, first success in jitter
         # schedule order (hybrid device budget + native stragglers)
         decoded = _fano_rounds(gate[:, :n], deint[:, :n], options.delta,
-                               kw["maxcycles"], options.maxcycles)
+                               kw["maxcycles"], options.maxcycles,
+                               device=dw.device)
         _LOG.debug("fano rounds done (%d decodes)", len(decoded))
         for g, (j, data, cycles) in decoded.items():
             decoded_by_b[int(sel_w[g])][int(sel_c[g])] = (j, data, cycles)
@@ -668,6 +677,7 @@ def decode_channels(
     max_attempts: int = DEFAULT_MAX_ATTEMPTS,
     device_batch: int = 8,
     transfer_dtype: str = "int16",
+    device=None,
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
@@ -740,7 +750,8 @@ def decode_channels(
             # channels whose pass 0 found something, wsprd/wsprd.c:522)
             if dw is None:
                 dw = _DeviceWindows(cur_i, cur_q, device_batch,
-                                    transfer_dtype=transfer_dtype)
+                                    transfer_dtype=transfer_dtype,
+                                    device=device)
             active = [b for b in range(B) if ipass == 0 or uniques[b]]
             decoded_by_b, tbl = _staged_pass(
                 dw, active, maxdrift_val, kw, device_batch, options)
@@ -817,6 +828,49 @@ def decode_channels(
     return uniques
 
 
+def decode_channels_multidevice(
+    i_windows: np.ndarray,
+    q_windows: np.ndarray,
+    options: DecoderOptions = DecoderOptions(),
+    hashtable: WsprHashTable | None = None,
+    devices=None,
+    device_batch: int = 64,
+    transfer_dtype: str = "int16",
+) -> list[list[Spot]]:
+    """Staged decode across all LOCAL devices of this process.
+
+    The window batch splits into one contiguous shard per device and
+    each shard runs the full staged pipeline on its own chip from a
+    host thread (device waits release the GIL, so chips execute
+    concurrently; decode is embarrassingly parallel per window —
+    SURVEY.md section 5). This is the production one-host-many-chips
+    path; use parallel.distributed.decode_local_shard per host for
+    multi-host, and the NamedSharding mesh path of decode_channels for
+    a single SPMD program.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if devices is None:
+        devices = jax.local_devices()
+    i_windows = np.asarray(i_windows, np.float32)
+    q_windows = np.asarray(q_windows, np.float32)
+    B = i_windows.shape[0]
+    D = min(len(devices), B)
+    bounds = [B * k // D for k in range(D + 1)]
+    ht = hashtable if hashtable is not None else WsprHashTable()
+
+    def run(k):
+        s0, s1 = bounds[k], bounds[k + 1]
+        return decode_channels(
+            i_windows[s0:s1], q_windows[s0:s1], options, ht,
+            device_batch=min(device_batch, s1 - s0),
+            transfer_dtype=transfer_dtype, device=devices[k])
+
+    with ThreadPoolExecutor(max_workers=D) as ex:
+        parts = list(ex.map(run, range(D)))
+    return [ch for part in parts for ch in part]
+
+
 def shard_windows(i_windows: np.ndarray, q_windows: np.ndarray, mesh):
     """Place planar (B, SIGNAL_SAMPLES) window batches sharded over the
     mesh."""
@@ -829,6 +883,7 @@ __all__ = [
     "ChannelDecode",
     "multichannel_decode_device",
     "decode_channels",
+    "decode_channels_multidevice",
     "shard_windows",
     "DEFAULT_MAX_ATTEMPTS",
     "replicated",

@@ -74,6 +74,25 @@ def test_decode_channels_does_not_mutate_inputs(batch3):
             == [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in first])
 
 
+def test_multidevice_threaded_matches_single(batch3):
+    """decode_channels_multidevice splits windows across local devices
+    (virtual CPU devices here) and must agree with the one-device
+    path."""
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_multidevice,
+    )
+
+    options = DecoderOptions(quickmode=True)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    multi = decode_channels_multidevice(wi, wq, options,
+                                        devices=jax.devices()[:3])
+    single = decode_channels(wi, wq, options, device_batch=3)
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in multi]
+    want = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in single]
+    assert got == want
+
+
 def test_multichannel_sharded_over_mesh(batch3):
     """Sharded and unsharded device steps produce identical arrays.
 
