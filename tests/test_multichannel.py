@@ -74,6 +74,21 @@ def test_decode_channels_does_not_mutate_inputs(batch3):
             == [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in first])
 
 
+def test_three_pass_decode_matches_single(batch3):
+    """npasses=3 exercises the reference's ipass==2 overrides
+    (maxdrift=0, minsync2=0.10, wsprd/wsprd.c:528-531) through both
+    paths; results must agree (and not duplicate pass-0/1 spots)."""
+    options = DecoderOptions(quickmode=True, npasses=3)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    batched = decode_channels(wi, wq, options, device_batch=3)
+    for b, (i, q) in enumerate(batch3):
+        single = decode_window(i, q, options)
+        got = sorted((s.call, s.loc, s.pwr) for s in batched[b])
+        want = sorted((s.call, s.loc, s.pwr) for s in single)
+        assert got == want, f"channel {b}: {got} != {want}"
+
+
 def test_multidevice_threaded_matches_single(batch3):
     """decode_channels_multidevice splits windows across local devices
     (virtual CPU devices here) and must agree with the one-device

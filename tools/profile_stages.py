@@ -38,8 +38,12 @@ def barrier(tree):
 
 
 def timeit(name, fn, *args, iters=3, **kw):
-    out = fn(*args, **kw)  # compile
-    barrier(out)
+    try:
+        out = fn(*args, **kw)  # compile
+        barrier(out)
+    except Exception as e:  # e.g. HBM OOM for dense stages at big DB
+        print(f"{name:28s}    FAILED: {type(e).__name__} {str(e)[:60]}")
+        raise SystemExit(1) from e
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
