@@ -2,6 +2,8 @@
 variants, host-driven FEC rounds, and device-resident window state."""
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from rtlsdr_wsprd_tpu.ops.fano import build_mettab
@@ -23,6 +25,33 @@ from rtlsdr_wsprd_tpu.utils.channel import (
 from rtlsdr_wsprd_tpu.utils.hashtable import WsprHashTable
 
 _METTAB = build_mettab()
+
+
+@pytest.fixture(scope="module")
+def batch_decode_env():
+    """3 windows (signal, signal, noise) + expected per-window spots,
+    shaped to reuse the device_batch=3 quickmode executables compiled
+    by the other suites."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    rng = np.random.default_rng(99)
+    wins = []
+    for msg, f0, seed in (("K1JT FN20 37", -40.0, 1), ("K9AN EN50 33",
+                                                       30.0, 2)):
+        i, q = synth_window_at_snr(msg, snr_db=5.0, f0=f0, seed=seed)
+        wins.append(normalize_minus3db(i, q))
+    z = rng.normal(0, 1.0, (45000, 2)).astype(np.float32)
+    wins.append(normalize_minus3db(z[:, 0], z[:, 1]))
+    wi = np.stack([i for i, q in wins])
+    wq = np.stack([q for i, q in wins])
+    clean = decode_channels(wi, wq, DecoderOptions(quickmode=True),
+                            device_batch=3)
+    expect = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in clean]
+    assert expect[0] and expect[1]  # both signals decode cleanly
+    return wi, wq, expect
 
 
 def test_lane_variants_match_per_window(rng):
@@ -118,6 +147,34 @@ def test_device_windows_replay_reproduces_state(rng):
         jnp.asarray(cur_i[1]), jnp.asarray(cur_q[1]), jnp.float32(12.0),
         jnp.int32(400), jnp.float32(0.5), jnp.asarray(syms))
     assert np.allclose(before_i[1], np.asarray(ni), atol=1e-6)
+
+
+def test_staged_pass_retries_after_device_crash(batch_decode_env, rng,
+                                                monkeypatch):
+    """A JaxRuntimeError from a stage-A dispatch must trigger
+    re-upload + retry, not a failed decode (per-window failure
+    isolation, SURVEY.md section 5)."""
+    import jax
+    import rtlsdr_wsprd_tpu.parallel.multichannel as mc
+
+    wi, wq, expect = batch_decode_env
+    real = mc._stage_a_packed
+    state = {"fails": 1}
+
+    def flaky(*a, **k):
+        if state["fails"]:
+            state["fails"] -= 1
+            raise jax.errors.JaxRuntimeError("synthetic worker crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(mc, "_stage_a_packed", flaky)
+    monkeypatch.setattr(mc.time, "sleep", lambda s: None)
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    spots = mc.decode_channels(wi, wq, DecoderOptions(quickmode=True),
+                               device_batch=wi.shape[0])
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in spots]
+    assert got == expect
+    assert state["fails"] == 0
 
 
 def test_subtract_rows_padding_shares_row_safely(rng):
