@@ -57,7 +57,10 @@ def main() -> None:
     import jax
 
     from rtlsdr_wsprd_tpu.config import DecoderOptions
-    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels,
+        prepare_windows,
+    )
 
     B = 256
     DB = 64  # per-device-call sub-batch (stage A HBM bound)
@@ -69,11 +72,16 @@ def main() -> None:
     n_spots = sum(len(s) for s in spots)
     decode_channels(wi, wq, options, device_batch=DB)
 
-    # steady state
+    # steady state: double-buffered like production streaming — batch
+    # k+1's host->device upload overlaps batch k's decode (the
+    # reference's RX/decode double buffer, rtlsdr_wsprd.c:75-91)
     iters = 2
     t0 = time.perf_counter()
+    prepared = prepare_windows(wi, wq, device_batch=DB)
     for _ in range(iters):
-        spots = decode_channels(wi, wq, options, device_batch=DB)
+        nxt = prepare_windows(wi, wq, device_batch=DB)
+        spots = decode_channels(None, None, options, windows=prepared)
+        prepared = nxt
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 

@@ -27,6 +27,10 @@ from ..config import DF, DT, NSPERSYM, NSYM, SIGNAL_SAMPLES
 TWOPIDT = 2.0 * np.pi * DT
 NFILT = 360  # LPF taps (wsprd/wsprd.c:326)
 NSIG = NSYM * NSPERSYM  # 41472 reference samples
+# headroom for dynamic_slice window extraction: sync shifts span about
+# [-1300, 3100] (coarse 128*(k0+1), k0 in -10..21, plus fine lag and
+# jitter); anything outside +/- _PAD clamps and is gate-rejected anyway
+_PAD = 8192
 
 
 def _halfsine_taps() -> tuple[np.ndarray, np.ndarray]:
@@ -40,31 +44,46 @@ def _halfsine_taps() -> tuple[np.ndarray, np.ndarray]:
 
 _W, _PARTIAL = _halfsine_taps()
 
-_FIR_CHUNK = 4500  # frames per im2col chunk (45000 / 4500 = 10 steps)
+_NFRAME = SIGNAL_SAMPLES // NFILT  # 125 frames of NFILT samples
 
 
-def _fir_same(x: jnp.ndarray, w_flipped: jnp.ndarray) -> jnp.ndarray:
-    """numpy-convolve-'same' FIR via chunked im2col matvec.
+def _toeplitz_w3() -> np.ndarray:
+    """Block-Toeplitz matrix turning the 'same' FIR into ONE matmul.
 
-    x: float32[SIGNAL_SAMPLES]; w_flipped: float32[NFILT] already
-    reversed (w[NFILT-1-j]). y[n] = sum_k w[k] x[n + 179 - k].
+    Split x into 125 frames of 360; y's frame m depends only on x's
+    frames m-1, m, m+1 (the filter spans 360 samples), so with
+    xcat[m, j] = x[(m-1)*360 + j], j in [0, 1080):
+        y[m*360 + t] = sum_k w[k] x[m*360 + t + 179 - k]
+                     = sum_j xcat[m, j] * W3[j, t],
+    W3[j, t] = w[t + 539 - j] where that index is in [0, 360).
+    (125, 1080) @ (1080, 360) is MXU-shaped — no gather, no scan.
     """
-    xp = jnp.pad(x, (NFILT - 1, NFILT - 1))
-    # y_same[n] = y_full[n + (NFILT-1)//2]; with the front pad of
-    # NFILT-1 and j = NFILT-1-k this is X[n, j] = xp[n + base + j]
-    base = (NFILT - 1) // 2  # 179
+    w3 = np.zeros((3 * NFILT, NFILT), np.float32)
+    j = np.arange(3 * NFILT)[:, None]
+    t = np.arange(NFILT)[None, :]
+    k = t + 539 - j
+    ok = (k >= 0) & (k < NFILT)
+    w3[ok] = _W[k[ok]]
+    return w3
 
-    def chunk(carry, n0):
-        del carry
-        idx = n0 + base + (jnp.arange(_FIR_CHUNK)[:, None]
-                           + jnp.arange(NFILT)[None, :])
-        X = xp[idx]  # (_FIR_CHUNK, NFILT)
-        return None, jnp.dot(X, w_flipped,
-                             preferred_element_type=jnp.float32)
 
-    starts = jnp.arange(0, SIGNAL_SAMPLES, _FIR_CHUNK, dtype=jnp.int32)
-    _, ys = jax.lax.scan(chunk, None, starts)
-    return ys.reshape(-1)[:SIGNAL_SAMPLES]
+_W3 = _toeplitz_w3()
+
+
+def _fir_same(x: jnp.ndarray) -> jnp.ndarray:
+    """numpy-convolve-'same' half-sine FIR: y[n] = sum_k w[k] x[n+179-k].
+
+    One block-Toeplitz matmul (see _toeplitz_w3); x: float32[45000].
+    """
+    xp = jnp.pad(x, (NFILT, NFILT))  # covers x[n-180 .. n+179] at edges
+    xcat = jnp.concatenate([
+        xp[0:SIGNAL_SAMPLES].reshape(_NFRAME, NFILT),
+        xp[NFILT:NFILT + SIGNAL_SAMPLES].reshape(_NFRAME, NFILT),
+        xp[2 * NFILT:2 * NFILT + SIGNAL_SAMPLES].reshape(_NFRAME, NFILT),
+    ], axis=1)                                     # (125, 1080)
+    y = jnp.dot(xcat, jnp.asarray(_W3),
+                preferred_element_type=jnp.float32)
+    return y.reshape(-1)
 
 
 def _reference_signal(f0, drift, symbols: jnp.ndarray):
@@ -93,11 +112,17 @@ def subtract_signal2(
 
     # s(t) * conj(r(t)) at k = shift + i, valid for 0 < k < np
     # (wsprd/wsprd.c:375-381); the C pads NFILT zeros in front.
-    k = shift + jnp.arange(NSIG, dtype=jnp.int32)
+    # k is CONTIGUOUS, so the extract is a dynamic_slice on a padded
+    # plane and the write-back a dynamic_update_slice — generic
+    # gathers/scatters scalarize on TPU and must not appear here.
+    i = jnp.arange(NSIG, dtype=jnp.int32)
+    k = shift + i
     ok = (k > 0) & (k < SIGNAL_SAMPLES)
-    kc = jnp.clip(k, 0, SIGNAL_SAMPLES - 1)
-    sr = jnp.where(ok, sig_i[kc], 0.0)
-    si = jnp.where(ok, sig_q[kc], 0.0)
+    pad_i = jnp.pad(sig_i, (_PAD, _PAD))
+    pad_q = jnp.pad(sig_q, (_PAD, _PAD))
+    start = (shift + _PAD,)
+    sr = jnp.where(ok, jax.lax.dynamic_slice(pad_i, start, (NSIG,)), 0.0)
+    si = jnp.where(ok, jax.lax.dynamic_slice(pad_q, start, (NSIG,)), 0.0)
     # s * conj(r)
     cr0 = sr * rr + si * ri
     ci0 = si * rr - sr * ri
@@ -108,9 +133,8 @@ def subtract_signal2(
 
     # 360-tap half-sine LPF, output restricted to
     # [NFILT/2, SIGNAL_SAMPLES - NFILT/2) (wsprd/wsprd.c:384-391)
-    wf = jnp.asarray(_W[::-1].copy())
-    cfr = _fir_same(cr, wf)
-    cfi = _fir_same(ci, wf)
+    cfr = _fir_same(cr)
+    cfi = _fir_same(ci)
     pos = jnp.arange(SIGNAL_SAMPLES)
     keep = (pos >= NFILT // 2) & (pos < SIGNAL_SAMPLES - NFILT // 2)
     cfr = jnp.where(keep, cfr, 0.0)
@@ -118,7 +142,6 @@ def subtract_signal2(
 
     # edge normalization by the filter's partial step response
     # (wsprd/wsprd.c:397-411)
-    i = jnp.arange(NSIG)
     partial = jnp.asarray(_PARTIAL)
     norm = jnp.where(
         i < NFILT // 2, partial[NFILT // 2 + i],
@@ -126,13 +149,16 @@ def subtract_signal2(
                   partial[jnp.clip(NFILT // 2 + NSIG - 1 - i, 0, NFILT - 1)],
                   1.0),
     )
-    gr = cfr[i + NFILT] / norm
-    gi = cfi[i + NFILT] / norm
-    # delta = c(t) * r(t)
-    dr = gr * rr - gi * ri
-    di = gr * ri + gi * rr
-    out_i = sig_i.at[kc].add(jnp.where(ok, -dr, 0.0))
-    out_q = sig_q.at[kc].add(jnp.where(ok, -di, 0.0))
+    gr = jax.lax.slice(cfr, (NFILT,), (NFILT + NSIG,)) / norm
+    gi = jax.lax.slice(cfi, (NFILT,), (NFILT + NSIG,)) / norm
+    # delta = c(t) * r(t), written back through the same padded plane
+    dr = jnp.where(ok, gr * rr - gi * ri, 0.0)
+    di = jnp.where(ok, gr * ri + gi * rr, 0.0)
+    zeros_pad = jnp.zeros(SIGNAL_SAMPLES + 2 * _PAD, sig_i.dtype)
+    full_i = jax.lax.dynamic_update_slice(zeros_pad, dr, start)
+    full_q = jax.lax.dynamic_update_slice(zeros_pad, di, start)
+    out_i = sig_i - jax.lax.slice(full_i, (_PAD,), (_PAD + SIGNAL_SAMPLES,))
+    out_q = sig_q - jax.lax.slice(full_q, (_PAD,), (_PAD + SIGNAL_SAMPLES,))
     return out_i, out_q
 
 

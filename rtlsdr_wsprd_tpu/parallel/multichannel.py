@@ -295,6 +295,7 @@ def _stage_b_packed(sig_i, sig_q, lane_w, freq, shift, drift, lane_valid, *,
 
 
 FANO_BATCH = 512  # static shape of one device Fano call
+SUBTRACT_LANES = 256  # cross-channel subtraction lanes per device call
 
 
 @partial(jax.jit, static_argnames=("delta", "maxcycles"))
@@ -500,6 +501,7 @@ class _DeviceWindows:
                  device_batch: int, transfer_dtype: str = "int16",
                  device=None):
         self.device = device
+        self.device_batch = device_batch
         B = cur_i.shape[0]
         self.B = B
         self.n_pad = -(-B // device_batch) * device_batch
@@ -668,9 +670,35 @@ def _staged_pass(
     return decoded_by_b, tbl
 
 
-def decode_channels(
+def prepare_windows(
     i_windows: np.ndarray,
     q_windows: np.ndarray,
+    device_batch: int = 8,
+    transfer_dtype: str = "int16",
+    device=None,
+) -> _DeviceWindows:
+    """Quantize a window batch and START its host->device upload.
+
+    ``jax.device_put`` is asynchronous, so preparing batch k+1 while
+    batch k decodes overlaps the (bandwidth-bound) sample transfer with
+    device compute — the TPU analog of the reference's RX/decode double
+    buffer (rtlsdr_wsprd.c:75-91): samples for the next 2-minute window
+    always arrive while the current one decodes. Pass the handle to
+    ``decode_channels(windows=...)``; i_windows/q_windows as there.
+    """
+    cur_i = np.asarray(i_windows, np.float32)
+    cur_q = np.asarray(q_windows, np.float32)
+    assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
+    assert cur_i.shape == cur_q.shape
+    dw = _DeviceWindows(cur_i, cur_q, device_batch,
+                        transfer_dtype=transfer_dtype, device=device)
+    dw.arrays  # dispatch the upload now; consumers rendezvous later
+    return dw
+
+
+def decode_channels(
+    i_windows: np.ndarray | None,
+    q_windows: np.ndarray | None,
     options: DecoderOptions = DecoderOptions(),
     hashtable: WsprHashTable | None = None,
     sharding=None,
@@ -678,6 +706,7 @@ def decode_channels(
     device_batch: int = 8,
     transfer_dtype: str = "int16",
     device=None,
+    windows: _DeviceWindows | None = None,
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
@@ -686,14 +715,23 @@ def decode_channels(
     channel axis (see parallel.mesh.channel_sharding); None runs on the
     default device. ``transfer_dtype``: host->device sample format of
     the staged path (see _DeviceWindows; 'float32' for exact transfer).
+    ``windows``: a prepare_windows() handle (staged path only) whose
+    upload was dispatched earlier; i_windows/q_windows may be None then.
     Returns per-channel Spot lists, each sorted by SNR descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
-    cur_i = np.asarray(i_windows, np.float32)
-    cur_q = np.asarray(q_windows, np.float32)
-    assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
-    assert cur_i.shape == cur_q.shape
-    B = cur_i.shape[0]
+    if windows is not None:
+        if sharding is not None:
+            raise ValueError("windows= is the staged path; no sharding")
+        cur_i = cur_q = None
+        B = windows.B
+        device_batch = windows.device_batch
+    else:
+        cur_i = np.asarray(i_windows, np.float32)
+        cur_q = np.asarray(q_windows, np.float32)
+        assert cur_i.ndim == 2 and cur_i.shape[1] == SIGNAL_SAMPLES
+        assert cur_i.shape == cur_q.shape
+        B = cur_i.shape[0]
     if sharding is not None:
         # mutable COPIES: the mesh path's subtraction writes into these
         # and the caller's buffers must never be mutated. The staged
@@ -708,7 +746,7 @@ def decode_channels(
         return si, sq
 
     sig_i = sig_q = None
-    dw = None
+    dw = windows
     if sharding is not None:
         sig_i, sig_q = upload()
 
@@ -787,14 +825,18 @@ def decode_channels(
             n_rounds = max(len(v) for v in subs.values())
             _LOG.debug("subtracting %d decodes in %d rounds",
                        sum(len(v) for v in subs.values()), n_rounds)
-            lane_n = device_batch
+            # subtraction lanes amortize well past device_batch (the
+            # per-lane synthesis/FIR work is tiny once batched); pad
+            # each group to a static bucket to bound recompiles
+            lane_n = max(device_batch, SUBTRACT_LANES)
             for r in range(n_rounds):
                 lanes = [(b, *subs[b][r]) for b in sorted(subs)
                          if len(subs[b]) > r]
                 for l0 in range(0, len(lanes), lane_n):
                     grp = lanes[l0:l0 + lane_n]
                     n = len(grp)
-                    pad = lane_n - n
+                    padded = next(k for k in (16, 64, lane_n) if n <= k)
+                    pad = padded - n
                     bidx = np.array([g[0] for g in grp] + [0] * pad)
                     f0s = np.array([g[1] for g in grp] + [0.0] * pad,
                                    np.float32)
@@ -882,6 +924,7 @@ def shard_windows(i_windows: np.ndarray, q_windows: np.ndarray, mesh):
 __all__ = [
     "ChannelDecode",
     "multichannel_decode_device",
+    "prepare_windows",
     "decode_channels",
     "decode_channels_multidevice",
     "shard_windows",

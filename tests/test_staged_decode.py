@@ -198,3 +198,20 @@ def test_subtract_rows_padding_shares_row_safely(rng):
         jnp.int32(400), jnp.float32(0.5), jnp.asarray(syms))
     assert np.allclose(np.asarray(out_i)[0], np.asarray(ni), atol=1e-6)
     assert np.array_equal(np.asarray(out_i)[1], cur_i[1])
+
+
+def test_prepare_windows_path_matches_direct(batch_decode_env):
+    """decode_channels(windows=prepare_windows(...)) — the pipelined
+    double-buffer entry — must decode identically to the direct call."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels,
+        prepare_windows,
+    )
+
+    wi, wq, expect = batch_decode_env
+    pw = prepare_windows(wi, wq, device_batch=wi.shape[0])
+    spots = decode_channels(None, None, DecoderOptions(quickmode=True),
+                            windows=pw)
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in spots]
+    assert got == expect
