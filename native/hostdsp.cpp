@@ -23,6 +23,7 @@
 // Exposed as a plain C ABI consumed via ctypes (see
 // rtlsdr_wsprd_tpu/native/__init__.py). Build: native/Makefile.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -243,6 +244,32 @@ void u8_deinterleave_center(const uint8_t* raw, uint64_t n_pairs,
   for (uint64_t k = 0; k < n_pairs; ++k) {
     out_i[k] = static_cast<float>(raw[2 * k]) - 128.0f;
     out_q[k] = static_cast<float>(raw[2 * k + 1]) - 128.0f;
+  }
+}
+
+// float32 -> int8/int16 sample quantization for the host->device
+// transfer path (parallel/multichannel.py _DeviceWindows): round to
+// nearest (ties to even, matching numpy rint), clamp to +/-lim,
+// NaN -> 0. One vectorizable pass instead of numpy's four temporaries.
+void f32_quantize_i8(const float* x, uint64_t n, float scale,
+                     int8_t* out) {
+  for (uint64_t k = 0; k < n; ++k) {
+    float v = x[k] * scale;
+    v = (v == v) ? v : 0.0f;  // NaN -> 0 before clamping
+    v = std::nearbyintf(v);
+    v = std::fmin(std::fmax(v, -127.0f), 127.0f);
+    out[k] = static_cast<int8_t>(v);
+  }
+}
+
+void f32_quantize_i16(const float* x, uint64_t n, float scale,
+                      int16_t* out) {
+  for (uint64_t k = 0; k < n; ++k) {
+    float v = x[k] * scale;
+    v = (v == v) ? v : 0.0f;
+    v = std::nearbyintf(v);
+    v = std::fmin(std::fmax(v, -32767.0f), 32767.0f);
+    out[k] = static_cast<int16_t>(v);
   }
 }
 

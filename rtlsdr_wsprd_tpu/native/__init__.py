@@ -70,6 +70,16 @@ def _load():
     lib.u8_deinterleave_center.argtypes = [u8p, ctypes.c_uint64, f32p, f32p]
     lib.u8_deinterleave_center.restype = None
 
+    if hasattr(lib, "f32_quantize_i8"):  # absent in stale prebuilt .so
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        lib.f32_quantize_i8.argtypes = [
+            f32p, ctypes.c_uint64, ctypes.c_float, i8p]
+        lib.f32_quantize_i8.restype = None
+        lib.f32_quantize_i16.argtypes = [
+            f32p, ctypes.c_uint64, ctypes.c_float, i16p]
+        lib.f32_quantize_i16.restype = None
+
     _lib = lib
     return lib
 
@@ -171,3 +181,23 @@ def u8_deinterleave_center(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     out_q = np.empty(n, np.float32)
     lib.u8_deinterleave_center(raw, n, out_i, out_q)
     return out_i, out_q
+
+
+def quantize_into(x: np.ndarray, out: np.ndarray, scale: float) -> None:
+    """float32 -> int8/int16 transfer quantization: round to nearest
+    (ties to even), clamp to the dtype's symmetric range, NaN -> 0.
+    Writes into ``out`` (int8 or int16, same shape as ``x``). One
+    native pass when available; numpy fallback otherwise."""
+    assert x.dtype == np.float32 and x.flags.c_contiguous
+    assert out.flags.c_contiguous and out.shape == x.shape
+    lib = _load()
+    fn = None
+    if lib is not None:
+        name = {np.dtype(np.int8): "f32_quantize_i8",
+                np.dtype(np.int16): "f32_quantize_i16"}[out.dtype]
+        fn = getattr(lib, name, None)  # None for a stale prebuilt .so
+    if fn is None:
+        lim = 127 if out.dtype == np.int8 else 32767
+        out[...] = np.clip(np.nan_to_num(np.rint(x * scale)), -lim, lim)
+        return
+    fn(x.reshape(-1), x.size, np.float32(scale), out.reshape(-1))

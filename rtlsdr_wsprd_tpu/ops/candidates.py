@@ -34,10 +34,11 @@ class Candidates(NamedTuple):
 def smoothed_spectrum(ps: jnp.ndarray) -> jnp.ndarray:
     """ps[512, BLOCKS] -> renormalized smoothed spectrum smspec[411]."""
     psavg = jnp.sum(ps, axis=1)  # (512,)
-    # smspec[i] = sum_{j=-3..3} psavg[51 + i + j + 3 - 3]  (center 256-205=51)
+    # smspec[i] = sum_{j=-3..3} psavg[51 + i + j]  (center 256-205=51),
+    # as 7 static shifted slices (not a (411, 7) gather)
     base = 256 - 205
-    idx = base + jnp.arange(SMSPEC_BINS)[:, None] + jnp.arange(-3, 4)[None, :]
-    smspec = jnp.sum(psavg[idx], axis=1)  # (411,)
+    smspec = sum(psavg[base - 3 + t:base - 3 + t + SMSPEC_BINS]
+                 for t in range(7))  # (411,)
 
     noise_level = jnp.sort(smspec)[NOISE_PERCENTILE_IDX]
     smspec = smspec / noise_level - 1.0

@@ -132,22 +132,31 @@ def coarse_search(ps: jnp.ndarray, bin_idx: jnp.ndarray, maxdrift=4) -> CoarseEs
     dmask = (jnp.abs(idrift) <= maxdrift)[None, None, :]
     sync_grid = jnp.where(dmask, sync_grid, -jnp.inf)
 
+    # reduce the grid PER ROW first (first max wins over (k0, idrift) =
+    # the C's inner loop order), so candidates gather only 3 scalars per
+    # row instead of 3 full (32, 9) planes — large batched gathers
+    # scalarize on TPU
+    row_flat = sync_grid.reshape(N_ROWS, N_LAG * N_DRIFT)
+    row_arg = jnp.argmax(row_flat, axis=1)                  # (512,)
+    row_val = jnp.take_along_axis(row_flat, row_arg[:, None], axis=1)[:, 0]
+
     # per candidate: read rows if0-1, if0, if0+1
     # if0 = freq/(DF/2) + 256 = (j - 205) + 256 = j + 51 (wsprd/wsprd.c:648)
     if0 = bin_idx.astype(jnp.int32) + 51  # (C,)
     ifr = if0[:, None] + jnp.arange(-1, 2, dtype=jnp.int32)[None, :]  # (C, 3)
-    cand = sync_grid[jnp.clip(ifr, 0, N_ROWS - 1)]  # (C, 3, 32, 9)
+    ifr_c = jnp.clip(ifr, 0, N_ROWS - 1)
+    val3 = row_val[ifr_c]  # (C, 3)
+    arg3 = row_arg[ifr_c]  # (C, 3)
 
-    flat = cand.reshape(cand.shape[0], -1)  # (C, 3*32*9) in (ifr,k0,idrift)
-    best = jnp.argmax(flat, axis=1)         # first max wins = C loop order
-    bi = best // (N_LAG * N_DRIFT)
-    bk = (best // N_DRIFT) % N_LAG
-    bd = best % N_DRIFT
+    bi = jnp.argmax(val3, axis=1)  # first max wins = the C's ifr order
+    best_rd = jnp.take_along_axis(arg3, bi[:, None], axis=1)[:, 0]
+    bk = best_rd // N_DRIFT
+    bd = best_rd % N_DRIFT
 
     k0 = jnp.arange(K0_MIN, K0_MAX + 1, dtype=jnp.int32)
     best_ifr = jnp.take_along_axis(ifr, bi[:, None], axis=1)[:, 0]
     freq = (best_ifr - 256).astype(jnp.float32) * (DF / 2.0)
     shift = 128 * (k0[bk] + 1)
     drift = idrift[bd].astype(jnp.float32)
-    best_sync = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    best_sync = jnp.take_along_axis(val3, bi[:, None], axis=1)[:, 0]
     return CoarseEstimate(freq=freq, shift=shift, drift=drift, sync=best_sync)

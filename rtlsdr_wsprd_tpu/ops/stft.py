@@ -54,11 +54,16 @@ def power_spectrogram(i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     (wsprd/wsprd.c:536-553). Frequency resolution is DF/2 = 375/512 Hz
     per bin; frame b starts at sample 128*b.
     """
-    starts = jnp.arange(BLOCKS) * HOP
-    idx = starts[:, None] + jnp.arange(FFT_SIZE)[None, :]  # (BLOCKS, 512)
+    # framing with hop 128 = FFT_SIZE/4 as four static slices of a
+    # (350, 128) reshape — a (347, 512) gather would scalarize on TPU
+    def frames(x):
+        blk = x[:(BLOCKS + 3) * HOP].reshape(BLOCKS + 3, HOP)
+        return jnp.concatenate(
+            [blk[t:t + BLOCKS] for t in range(4)], axis=1)  # (347, 512)
+
     w = jnp.asarray(HANN)
-    fr = i[idx] * w  # (BLOCKS, 512)
-    fi = q[idx] * w
+    fr = frames(i) * w  # (BLOCKS, 512)
+    fi = frames(q) * w
     C = jnp.asarray(_DFT_COS)
     S = jnp.asarray(_DFT_SIN)
     # Z[b,k] = sum_n (fr + j fi)[b,n] * (cos - j sin)[n,k]

@@ -81,3 +81,19 @@ def test_u8_deinterleave_center():
     i, q = native.u8_deinterleave_center(raw)
     np.testing.assert_array_equal(i, raw[0::2].astype(np.float32) - 128.0)
     np.testing.assert_array_equal(q, raw[1::2].astype(np.float32) - 128.0)
+
+
+def test_quantize_into_matches_numpy():
+    """Native f32 quantizer == rint/clip/nan_to_num numpy semantics."""
+    import numpy as np
+
+    from rtlsdr_wsprd_tpu import native
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 0.2, (7, 999)).astype(np.float32)
+    x[0, :5] = [np.nan, np.inf, -np.inf, 0.5 / 254.0, -2.0]
+    for dt, scale, lim in ((np.int8, 254.0, 127), (np.int16, 65534.0, 32767)):
+        out = np.zeros(x.shape, dt)
+        native.quantize_into(x, out, scale)
+        ref = np.clip(np.nan_to_num(np.rint(x * scale)), -lim, lim)
+        assert np.array_equal(out, ref.astype(dt))
