@@ -33,6 +33,7 @@ Host code only unpacks messages, dedupes and drives the pass loop.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 from typing import NamedTuple
@@ -264,6 +265,23 @@ def _stage_a_packed(sig_i, sig_q, maxdrift, *, fmin, fmax):
     return jax.vmap(one)(sig_i, sig_q, maxdrift)
 
 
+@partial(jax.jit, static_argnames=("fmin", "fmax"))
+def _stage_a_rows(sig_i, sig_q, rows, maxdrift, *, fmin, fmax):
+    """_stage_a_packed over a SUBSET of window rows: rows int32[DB]
+    indexes into the full (n_pad, N) planes. Row picks are vmapped 2-D
+    dynamic_slices (gather-free, same trick as sync._lane_windows).
+    Later passes re-decode only the windows whose pass 0 found
+    something (wsprd/wsprd.c:522) — this skips the rest entirely."""
+    N = sig_i.shape[1]
+
+    def pick(w):
+        return (jax.lax.dynamic_slice(sig_i, (w, 0), (1, N))[0],
+                jax.lax.dynamic_slice(sig_q, (w, 0), (1, N))[0])
+
+    si, sq = jax.vmap(pick)(rows)
+    return _stage_a_packed(si, sq, maxdrift, fmin=fmin, fmax=fmax)
+
+
 @partial(
     jax.jit,
     static_argnames=("lagstep", "iifac", "quickmode", "symfac", "minsync1",
@@ -306,16 +324,62 @@ def _fano_batch_packed(deint, valid, *, delta, maxcycles):
     return (res.success & valid), res.data, res.cycles
 
 
+def _default_fec_mode() -> str:
+    """'host' on RPC-tunneled backends, 'hybrid' otherwise.
+
+    A tunneled while_loop costs ~1.5 ms PER ITERATION, so one device
+    Fano round pays >100 ms in loop latency alone — while the native
+    sequential decoder (native/hostdsp.cpp) finishes a clean attempt in
+    ~25 us and even a full-budget timeout in ~11 ms. On such backends
+    host-first FEC wins outright; locally attached chips keep the
+    batched device search with host straggler finish."""
+    if native.AVAILABLE and os.environ.get(
+            "JAX_PLATFORMS", "").startswith("axon"):
+        return "host"
+    return "hybrid"
+
+
+def _fano_rounds_host(gate: np.ndarray, deint: np.ndarray, delta: int,
+                      maxcycles: int):
+    """Reference-order FEC entirely on the native host decoder: per
+    lane, try gate-passing jitters in schedule order until the first
+    success (wsprd/wsprd.c:739-766) — exactly the C's jitter loop, so
+    results (including which jitter decodes and its cycle count) match
+    the hybrid path bit for bit."""
+    J, G = gate.shape
+    t0 = time.perf_counter()
+    n_att = 0
+    decoded: dict[int, tuple[int, bytes, int]] = {}
+    for g in range(G):
+        for j in np.nonzero(gate[:, g])[0]:
+            n_att += 1
+            ok, data, cycles, _m = native.fano_decode(
+                deint[j, g], _METTAB, delta=delta, maxcycles=maxcycles)
+            if ok:
+                decoded[g] = (int(j), bytes(data), int(cycles))
+                break
+    _LOG.debug("fano host: %d attempts, %d decodes, %.0f ms",
+               n_att, len(decoded), 1e3 * (time.perf_counter() - t0))
+    return decoded
+
+
 def _fano_rounds(gate: np.ndarray, deint: np.ndarray, delta: int,
-                 dev_maxcycles: int, full_maxcycles: int, device=None):
+                 dev_maxcycles: int, full_maxcycles: int, device=None,
+                 fec: str = "auto"):
     """Host-driven FEC: per lane, decode its gate-passing jitters in
     schedule order until the first success (wsprd/wsprd.c:739-766 "if
     worth_a_try... break on not_decoded==0"), batching FANO_BATCH
     attempts per device call across lanes, with hybrid straggler finish.
+    ``fec='host'`` (the default on tunneled backends, see
+    _default_fec_mode) skips the device rounds entirely.
 
     gate: bool[J, G]; deint: uint8[J, G, 162].
     Returns {lane: (jitter idx, data bytes, cycles)} first successes.
     """
+    if fec == "auto":
+        fec = _default_fec_mode()
+    if fec == "host" and native.AVAILABLE:
+        return _fano_rounds_host(gate, deint, delta, full_maxcycles)
     J, G = gate.shape
     pending = {g: [int(j) for j in np.nonzero(gate[:, g])[0]]
                for g in range(G) if gate[:, g].any()}
@@ -335,18 +399,35 @@ def _fano_rounds(gate: np.ndarray, deint: np.ndarray, delta: int,
             syms[a] = deint[j, g]
         valid = np.zeros(FANO_BATCH, bool)
         valid[:n] = True
+        t_dev = time.perf_counter()
         dsyms = (jax.device_put(syms, device) if device is not None
                  else jnp.asarray(syms))
         dvalid = (jax.device_put(valid, device) if device is not None
                   else jnp.asarray(valid))
         succ, data, cycles = (np.asarray(x) for x in _fano_batch_packed(
             dsyms, dvalid, delta=delta, maxcycles=dev_maxcycles))
+        t_host = time.perf_counter()
         pend = pending_mask(succ, cycles, dev_maxcycles, full_maxcycles)
         pend &= valid
         if pend.any():
-            _LOG.debug("host-finishing %d straggler lanes", int(pend.sum()))
+            # a pending attempt only matters if NO earlier jitter of the
+            # same lane already decoded this round (first success wins,
+            # wsprd/wsprd.c:762-766) — skip the rest of the stragglers
+            first_succ: dict[int, int] = {}
+            for a, (g, j) in enumerate(batch):
+                if succ[a] and g not in first_succ:
+                    first_succ[g] = a
+            for a, (g, j) in enumerate(batch):
+                if pend[a] and first_succ.get(g, FANO_BATCH) < a:
+                    pend[a] = False
+        if pend.any():
             succ, data, cycles = host_finish(
                 syms, succ, data, cycles, pend, delta, full_maxcycles)
+        _LOG.debug(
+            "fano round: %d attempts over %d lanes, device %.0f ms, "
+            "host-finish %d stragglers %.0f ms", n, len(pending),
+            1e3 * (t_host - t_dev), int(pend.sum()),
+            1e3 * (time.perf_counter() - t_host))
         for a, (g, j) in enumerate(batch):
             if g not in pending:
                 continue  # earlier attempt this round already decoded g
@@ -576,6 +657,7 @@ def _staged_pass(
     kw: dict,
     device_batch: int,
     options: DecoderOptions,
+    fec: str = "auto",
 ):
     """One pass of the staged single-device path: chunked stage A
     (per-window search, dispatched async), host lane compaction
@@ -590,16 +672,34 @@ def _staged_pass(
     md = jnp.full((device_batch,), maxdrift_val, jnp.int32)
 
     # ---- stage A: dispatch every chunk, then fetch (async overlap) ----
+    # later passes re-decode only active windows (wsprd/wsprd.c:522):
+    # when that set is smaller than the padded batch, compact their
+    # rows into fewer chunks via the row-sliced variant
+    act = sorted(active)
+    n_act_pad = -(-max(len(act), 1) // device_batch) * device_batch
+    rows = None
+    if act and n_act_pad < n_pad:
+        rows = np.full(n_act_pad, act[-1], np.int32)
+        rows[:len(act)] = act
     sA = np.zeros((n_pad, 5, C), np.float32)
     for attempt in range(3):
         try:
             sig_i, sig_q = dw.arrays
-            refs = [(c0, _stage_a_packed(
-                sig_i[c0:c0 + device_batch], sig_q[c0:c0 + device_batch],
-                md, fmin=kw["fmin"], fmax=kw["fmax"]))
-                for c0 in range(0, n_pad, device_batch)]
-            for c0, ref in refs:
-                sA[c0:c0 + device_batch] = np.asarray(ref)
+            if rows is not None:
+                refs = [(c0, _stage_a_rows(
+                    sig_i, sig_q, jnp.asarray(rows[c0:c0 + device_batch]),
+                    md, fmin=kw["fmin"], fmax=kw["fmax"]))
+                    for c0 in range(0, n_act_pad, device_batch)]
+                for c0, ref in refs:
+                    sA[rows[c0:c0 + device_batch]] = np.asarray(ref)
+            else:
+                refs = [(c0, _stage_a_packed(
+                    sig_i[c0:c0 + device_batch],
+                    sig_q[c0:c0 + device_batch],
+                    md, fmin=kw["fmin"], fmax=kw["fmax"]))
+                    for c0 in range(0, n_pad, device_batch)]
+                for c0, ref in refs:
+                    sA[c0:c0 + device_batch] = np.asarray(ref)
             break
         except jax.errors.JaxRuntimeError as e:
             _LOG.warning("stage A crashed (attempt %d): %s",
@@ -677,7 +777,7 @@ def _staged_pass(
         # schedule order (hybrid device budget + native stragglers)
         decoded = _fano_rounds(gate[:, :n], deint[:, :n], options.delta,
                                kw["maxcycles"], options.maxcycles,
-                               device=dw.device)
+                               device=dw.device, fec=fec)
         _LOG.debug("fano rounds done (%d decodes)", len(decoded))
         for g, (j, data, cycles) in decoded.items():
             decoded_by_b[int(sel_w[g])][int(sel_c[g])] = (j, data, cycles)
@@ -721,6 +821,7 @@ def decode_channels(
     transfer_dtype: str = "int8",
     device=None,
     windows: _DeviceWindows | None = None,
+    fec: str = "auto",
 ) -> list[list[Spot]]:
     """Decode B channels' 120 s windows in one batched device program.
 
@@ -731,7 +832,11 @@ def decode_channels(
     the staged path (see _DeviceWindows; 'float32' for exact transfer).
     ``windows``: a prepare_windows() handle (staged path only) whose
     upload was dispatched earlier; i_windows/q_windows may be None then.
-    Returns per-channel Spot lists, each sorted by SNR descending.
+    ``fec``: 'hybrid' = batched device Fano + native straggler finish,
+    'host' = native sequential decoder only (identical results; faster
+    on RPC-tunneled backends), 'auto' = pick per backend
+    (_default_fec_mode). Returns per-channel Spot lists, each sorted by
+    SNR descending.
     """
     ht = hashtable if hashtable is not None else WsprHashTable()
     if windows is not None:
@@ -806,7 +911,8 @@ def decode_channels(
                                     device=device)
             active = [b for b in range(B) if ipass == 0 or uniques[b]]
             decoded_by_b, tbl = _staged_pass(
-                dw, active, maxdrift_val, kw, device_batch, options)
+                dw, active, maxdrift_val, kw, device_batch, options,
+                fec=fec)
 
         # collect this pass's new decodes per channel, then subtract in
         # vmapped ROUNDS: round r applies each channel's r-th decode
@@ -892,6 +998,7 @@ def decode_channels_multidevice(
     devices=None,
     device_batch: int = 64,
     transfer_dtype: str = "int8",
+    fec: str = "auto",
 ) -> list[list[Spot]]:
     """Staged decode across all LOCAL devices of this process.
 
@@ -920,7 +1027,7 @@ def decode_channels_multidevice(
         return decode_channels(
             i_windows[s0:s1], q_windows[s0:s1], options, ht,
             device_batch=min(device_batch, s1 - s0),
-            transfer_dtype=transfer_dtype, device=devices[k])
+            transfer_dtype=transfer_dtype, device=devices[k], fec=fec)
 
     with ThreadPoolExecutor(max_workers=D) as ex:
         parts = list(ex.map(run, range(D)))

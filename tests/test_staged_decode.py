@@ -114,6 +114,16 @@ def test_fano_rounds_first_success_in_jitter_order():
     assert decoded[1][0] == 2   # garbage attempt fails, next succeeds
     assert decoded[0][1] == decoded[1][1]  # same message bytes
 
+    # the host-only FEC mode (default on tunneled backends) must
+    # produce the identical first-success map, jitters, bytes and
+    # cycle counts — Fano is deterministic
+    from rtlsdr_wsprd_tpu import native
+
+    if native.AVAILABLE:
+        host = _fano_rounds(gate, deint, delta=60, dev_maxcycles=16,
+                            full_maxcycles=10000, fec="host")
+        assert host == decoded
+
 
 def test_device_windows_replay_reproduces_state(rng):
     """After invalidate() (simulated worker crash) the replay log must
