@@ -107,11 +107,17 @@ def coarse_search(ps: jnp.ndarray, bin_idx: jnp.ndarray, maxdrift=4) -> CoarseEs
 
     # G[r, l, i] = sqrtps[r, k0_l + 2i], zero outside [0, BLOCKS)
     pad_l = -2 * K0_MIN  # generous left pad (k0 >= -10)
-    padded = jnp.pad(sqrtps, ((0, 0), (pad_l, 64)))
+    # split even/odd columns ONCE (a (.., n, 2) reshape), so each lag
+    # is a contiguous slice — 32 stride-2 slices would each pay a
+    # lane shuffle on TPU
+    padded = jnp.pad(sqrtps, ((0, 0), (pad_l, 65)))  # width 432, even
+    pairs = padded.reshape(N_ROWS, -1, 2)
+    eo = (pairs[:, :, 0], pairs[:, :, 1])
     cols = []
     for k0 in range(K0_MIN, K0_MAX + 1):
         start = k0 + pad_l
-        cols.append(padded[:, start:start + 2 * NSYM:2])
+        half = eo[start % 2]
+        cols.append(half[:, start // 2:start // 2 + NSYM])
     G = jnp.stack(cols, axis=1)  # (512, 32, 162)
 
     # one MXU matmul gives every (row, lag, drift, shift, kind) sum

@@ -173,23 +173,27 @@ def subtract_rows(sig_i, sig_q, bidx, f0, shift, drift, symbols, enable):
     a (B, SIGNAL_SAMPLES) window batch, in place (functionally).
 
     bidx int32[R] selects the row each lane updates; enable bool[R]
-    masks padding lanes. Updates are applied as scatter-ADDed deltas,
-    so disabled lanes (delta 0) can share a row index with an enabled
+    masks padding lanes. Updates are applied as ADDed deltas, so
+    disabled lanes (delta 0) can share a row index with an enabled
     lane safely; two ENABLED lanes must not target the same row (one
     decode per channel per round, wsprd/wsprd.c:781-789 sequencing is
-    kept by the caller's round loop)."""
-    n = sig_i.shape[1]
+    kept by the caller's round loop).
 
-    def one(b, f, s, d, sym):
-        row_i = jax.lax.dynamic_slice(sig_i, (b, 0), (1, n))[0]
-        row_q = jax.lax.dynamic_slice(sig_q, (b, 0), (1, n))[0]
-        ni, nq = subtract_signal2(row_i, row_q, f, s, d, sym)
-        return ni - row_i, nq - row_q
-
-    di, dq = jax.vmap(one)(bidx, f0, shift, drift, symbols)
+    The row pick and write-back are one-hot MXU matmuls, NOT
+    gather/scatter — a batched scatter over (R, 45000) rows both
+    scalarizes at run time and explodes compile time on TPU."""
+    B = sig_i.shape[0]
+    sel = (bidx[:, None] == jnp.arange(B, dtype=bidx.dtype)[None, :])
+    sel_f = sel.astype(sig_i.dtype)              # (R, B) one-hot rows
+    row_i = jnp.dot(sel_f, sig_i, preferred_element_type=jnp.float32)
+    row_q = jnp.dot(sel_f, sig_q, preferred_element_type=jnp.float32)
+    ni, nq = jax.vmap(subtract_signal2)(row_i, row_q, f0, shift, drift,
+                                        symbols)
     en = enable[:, None]
-    return (sig_i.at[bidx].add(jnp.where(en, di, 0.0)),
-            sig_q.at[bidx].add(jnp.where(en, dq, 0.0)))
+    di = jnp.where(en, ni - row_i, 0.0)
+    dq = jnp.where(en, nq - row_q, 0.0)
+    return (sig_i + jnp.dot(sel_f.T, di, preferred_element_type=jnp.float32),
+            sig_q + jnp.dot(sel_f.T, dq, preferred_element_type=jnp.float32))
 
 
 @jax.jit

@@ -758,7 +758,8 @@ def _staged_pass(
                     jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
                     **b_kw)
                 lane_f32, gate, deint = (np.asarray(x) for x in pk)
-                _LOG.debug("stage B fetch done")
+                _LOG.debug("stage B fetch done (%d gate-passing attempts)",
+                           int(gate.sum()))
                 break
             except jax.errors.JaxRuntimeError as e:
                 _LOG.warning("stage B crashed (lanes %d:%d, attempt %d): %s",
