@@ -310,11 +310,44 @@ def _stage_b_packed(sig_i, sig_q, lane_w, freq, shift, drift, lane_valid, *,
     ])                                                     # (3, G)
     # deinterleave on device (pure permutation); (J, G, 162) uint8
     deint = jit.symbols[:, :, INTERLEAVE_PERM]
-    return lane_f32, gate, deint
+
+    # compact each lane's first PREFETCH_ATTEMPTS gate-passing jitters
+    # (schedule order) for the host FEC — the near-universal case is
+    # success within the first try or two, so the host fetches ~100 KB
+    # instead of the dense (J, G, 162) symbol block; lanes needing more
+    # pull their full column later via _compact_lane_columns
+    J, G = gate.shape
+    M = min(PREFETCH_ATTEMPTS, J)
+    key = jnp.where(gate, jnp.arange(J, dtype=jnp.int32)[:, None],
+                    jnp.int32(J))                          # (J, G)
+    negv, _ = jax.lax.top_k(-key.T, M)
+    pre_j = -negv          # (G, M) first M gate-passing j, ascending
+    have = pre_j < J       # False slots: lane has fewer than M passers
+    onehot = ((pre_j[:, :, None]
+               == jnp.arange(J, dtype=jnp.int32)[None, None, :])
+              & have[:, :, None])                          # (G, M, J)
+    pre_syms = jnp.einsum(
+        "gmj,jgs->gms", onehot.astype(jnp.float32),
+        deint.astype(jnp.float32),
+        preferred_element_type=jnp.float32).astype(jnp.uint8)
+    return lane_f32, gate, pre_j, pre_syms, deint
 
 
 FANO_BATCH = 512  # static shape of one device Fano call
 SUBTRACT_LANES = 256  # cross-channel subtraction lanes per device call
+PREFETCH_ATTEMPTS = 4  # per-lane FEC attempts fetched with stage B
+
+
+@jax.jit
+def _compact_lane_columns(deint: jnp.ndarray, lanes: jnp.ndarray):
+    """Full jitter columns for the (rare) lanes that exhaust their
+    prefetched attempts: deint uint8[J, G, 162], lanes int32[L] ->
+    uint8[L, J, 162]. One-hot matmul, not a gather."""
+    G = deint.shape[1]
+    onehot = (lanes[:, None]
+              == jnp.arange(G, dtype=lanes.dtype)).astype(jnp.float32)
+    return jnp.einsum("lg,jgs->ljs", onehot, deint.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("delta", "maxcycles"))
@@ -337,6 +370,53 @@ def _default_fec_mode() -> str:
             "JAX_PLATFORMS", "").startswith("axon"):
         return "host"
     return "hybrid"
+
+
+def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
+                               pre_syms: np.ndarray, fetch_rest,
+                               delta: int, maxcycles: int):
+    """Reference-order host FEC fed by the stage-B attempt prefetch:
+    per lane, try gate-passing jitters in schedule order until first
+    success (wsprd/wsprd.c:739-766). The first PREFETCH_ATTEMPTS
+    attempts per lane arrive compacted with the stage-B fetch
+    (pre_j int32[G, M], pre_syms uint8[G, M, 162]); only lanes that
+    fail ALL of those — in practice the never-decoding gate survivors —
+    pull their full jitter column via ``fetch_rest(lanes) ->
+    uint8[L, J, 162]`` in one extra device call."""
+    J, G = gate.shape
+    M = pre_j.shape[1]
+    t0 = time.perf_counter()
+    n_att = 0
+    decoded: dict[int, tuple[int, bytes, int]] = {}
+    deferred: list[tuple[int, int]] = []  # (lane, schedule pos to resume)
+    for g in range(G):
+        js = np.nonzero(gate[:, g])[0]
+        for idx, j in enumerate(js):
+            if idx >= M:
+                deferred.append((g, idx))
+                break
+            assert pre_j[g, idx] == j, "prefetch/schedule mismatch"
+            n_att += 1
+            ok, data, cycles, _m = native.fano_decode(
+                pre_syms[g, idx], _METTAB, delta=delta, maxcycles=maxcycles)
+            if ok:
+                decoded[g] = (int(j), bytes(data), int(cycles))
+                break
+    if deferred:
+        cols = fetch_rest([g for g, _ in deferred])  # (L, J, 162)
+        for li, (g, start) in enumerate(deferred):
+            js = np.nonzero(gate[:, g])[0]
+            for j in js[start:]:
+                n_att += 1
+                ok, data, cycles, _m = native.fano_decode(
+                    cols[li, j], _METTAB, delta=delta, maxcycles=maxcycles)
+                if ok:
+                    decoded[g] = (int(j), bytes(data), int(cycles))
+                    break
+    _LOG.debug("fano host: %d attempts (%d deferred lanes), %d decodes, "
+               "%.0f ms", n_att, len(deferred), len(decoded),
+               1e3 * (time.perf_counter() - t0))
+    return decoded
 
 
 def _fano_rounds_host(gate: np.ndarray, deint: np.ndarray, delta: int,
@@ -750,6 +830,8 @@ def _staged_pass(
         ls[:n] = sA[sel_w, 3, sel_c].astype(np.int32)
         ld[:n] = sA[sel_w, 4, sel_c]
         lv[:n] = True
+        fec_mode = fec if fec != "auto" else _default_fec_mode()
+        host_fec = fec_mode == "host" and native.AVAILABLE
         for attempt in range(3):
             try:
                 sig_i, sig_q = dw.arrays
@@ -757,7 +839,13 @@ def _staged_pass(
                     sig_i, sig_q, jnp.asarray(lw), jnp.asarray(lf),
                     jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
                     **b_kw)
-                lane_f32, gate, deint = (np.asarray(x) for x in pk)
+                lane_f32, gate, pre_j, pre_syms = (
+                    np.asarray(x) for x in pk[:4])
+                deint_ref = pk[4]
+                # the dense (J, G, 162) symbol block only crosses the
+                # link for the hybrid path; host FEC reads the per-lane
+                # prefetch and pulls rare extra columns on demand
+                deint = None if host_fec else np.asarray(deint_ref)
                 _LOG.debug("stage B fetch done (%d gate-passing attempts)",
                            int(gate.sum()))
                 break
@@ -775,10 +863,25 @@ def _staged_pass(
         tbl["sync"][sel_w, sel_c] = lane_f32[2, :n]
 
         # host-driven FEC rounds: per lane, first success in jitter
-        # schedule order (hybrid device budget + native stragglers)
-        decoded = _fano_rounds(gate[:, :n], deint[:, :n], options.delta,
-                               kw["maxcycles"], options.maxcycles,
-                               device=dw.device, fec=fec)
+        # schedule order (host-first with attempt prefetch, or hybrid
+        # device budget + native stragglers)
+        if host_fec:
+            def fetch_rest(lanes):
+                L = len(lanes)
+                bkt = next(k for k in LANE_BUCKETS if L <= k)
+                lv_ = np.full(bkt, lanes[0], np.int32)
+                lv_[:L] = lanes
+                return np.asarray(_compact_lane_columns(
+                    deint_ref, jnp.asarray(lv_)))[:L]
+
+            decoded = _fano_rounds_host_prefetch(
+                gate[:, :n], pre_j[:n], pre_syms[:n], fetch_rest,
+                options.delta, options.maxcycles)
+        else:
+            decoded = _fano_rounds(gate[:, :n], deint[:, :n],
+                                   options.delta, kw["maxcycles"],
+                                   options.maxcycles, device=dw.device,
+                                   fec=fec_mode)
         _LOG.debug("fano rounds done (%d decodes)", len(decoded))
         for g, (j, data, cycles) in decoded.items():
             decoded_by_b[int(sel_w[g])][int(sel_c[g])] = (j, data, cycles)

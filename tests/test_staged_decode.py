@@ -125,6 +125,78 @@ def test_fano_rounds_first_success_in_jitter_order():
         assert host == decoded
 
 
+def test_fano_rounds_host_prefetch_matches_dense():
+    """The prefetch-fed host FEC driver (stage-B attempt compaction +
+    on-demand column fetch) must equal the dense-array host driver,
+    including lanes that only decode past the prefetch depth."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        PREFETCH_ATTEMPTS,
+        _fano_rounds_host,
+        _fano_rounds_host_prefetch,
+    )
+
+    if not native.AVAILABLE:
+        pytest.skip("native hostdsp unavailable")
+    J, G = 8, 4
+    good = _hard_symbols("K1JT FN20 37")
+    noise = np.random.default_rng(7).integers(
+        120, 136, (162,)).astype(np.uint8)
+    deint = np.zeros((J, G, 162), np.uint8)
+    gate = np.zeros((J, G), bool)
+    # lane 0: decodes on its first gate-passing jitter
+    deint[2, 0] = good
+    gate[2, 0] = True
+    # lane 1: all 6 gate-passers are garbage except the LAST (past the
+    # prefetch depth of 4) -> exercises the deferred column fetch
+    for j in range(6):
+        deint[j, 1] = noise
+        gate[j, 1] = True
+    deint[5, 1] = good
+    # lane 2: gate-passing garbage only (never decodes)
+    deint[[1, 3], 2] = noise
+    gate[[1, 3], 2] = True
+    # lane 3: nothing passes
+
+    dense = _fano_rounds_host(gate, deint, delta=60, maxcycles=10000)
+
+    M = min(PREFETCH_ATTEMPTS, J)
+    pre_j = np.full((G, M), J, np.int32)
+    pre_syms = np.zeros((G, M, 162), np.uint8)
+    for g in range(G):
+        js = np.nonzero(gate[:, g])[0][:M]
+        pre_j[g, :len(js)] = js
+        pre_syms[g, :len(js)] = deint[js, g]
+
+    fetched = []
+
+    def fetch_rest(lanes):
+        fetched.append(list(lanes))
+        return np.stack([deint[:, g] for g in lanes])
+
+    pre = _fano_rounds_host_prefetch(gate, pre_j, pre_syms, fetch_rest,
+                                     delta=60, maxcycles=10000)
+    assert pre == dense
+    assert fetched == [[1]]  # only the past-prefetch lane pulled a column
+
+
+def test_decode_channels_host_fec_matches_hybrid(batch_decode_env):
+    """decode_channels(fec='host') routes FEC through the stage-B
+    prefetch + native decoder and must produce the same spots as the
+    hybrid device path."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+
+    if not native.AVAILABLE:
+        pytest.skip("native hostdsp unavailable")
+    wi, wq, expect = batch_decode_env
+    spots = decode_channels(wi, wq, DecoderOptions(quickmode=True),
+                            device_batch=3, fec="host")
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in spots]
+    assert got == expect
+
+
 def test_device_windows_replay_reproduces_state(rng):
     """After invalidate() (simulated worker crash) the replay log must
     rebuild the exact post-subtraction device state."""
