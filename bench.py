@@ -59,7 +59,6 @@ def main() -> None:
     from rtlsdr_wsprd_tpu.config import DecoderOptions
     from rtlsdr_wsprd_tpu.parallel.multichannel import (
         decode_channels,
-        prepare_windows,
     )
 
     B = 256
@@ -72,16 +71,18 @@ def main() -> None:
     n_spots = sum(len(s) for s in spots)
     decode_channels(wi, wq, options, device_batch=DB)
 
-    # steady state: double-buffered like production streaming — batch
-    # k+1's host->device upload overlaps batch k's decode (the
+    # steady state: the production 2-deep batch pipeline — batch k+1's
+    # host work overlaps batch k's device stages (the TPU analog of the
     # reference's RX/decode double buffer, rtlsdr_wsprd.c:75-91)
-    iters = 2
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_pipelined,
+    )
+
+    iters = 4
     t0 = time.perf_counter()
-    prepared = prepare_windows(wi, wq, device_batch=DB)
-    for _ in range(iters):
-        nxt = prepare_windows(wi, wq, device_batch=DB)
-        spots = decode_channels(None, None, options, windows=prepared)
-        prepared = nxt
+    for _ in decode_channels_pipelined(
+            ((wi, wq) for _ in range(iters)), options, device_batch=DB):
+        pass
     jax.effects_barrier()
     dt = time.perf_counter() - t0
 

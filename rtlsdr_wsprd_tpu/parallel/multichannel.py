@@ -1094,6 +1094,42 @@ def decode_channels(
     return uniques
 
 
+def decode_channels_pipelined(
+    batches,
+    options: DecoderOptions = DecoderOptions(),
+    hashtable: WsprHashTable | None = None,
+    depth: int = 2,
+    device_batch: int = 64,
+    transfer_dtype: str = "int8",
+    device=None,
+    fec: str = "auto",
+):
+    """Stream-decode an iterable of (i_windows, q_windows) batches with
+    a ``depth``-deep pipeline; yields each batch's spot lists in order.
+
+    Batch k+1's host work (sample quantization, host FEC, spot
+    assembly — GIL-releasing native code or cheap Python) overlaps
+    batch k's device stages, so steady-state throughput approaches the
+    device-bound limit — the TPU analog of the reference's RX/decode
+    double buffer (rtlsdr_wsprd.c:75-91). bench.py measures this path.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ht = hashtable if hashtable is not None else WsprHashTable()
+    with ThreadPoolExecutor(depth) as ex:
+        futs = []
+        for wi, wq in batches:
+            w = prepare_windows(wi, wq, device_batch=device_batch,
+                                transfer_dtype=transfer_dtype,
+                                device=device)
+            futs.append(ex.submit(decode_channels, None, None, options,
+                                  ht, windows=w, fec=fec))
+            while len(futs) >= depth:
+                yield futs.pop(0).result()
+        for f in futs:
+            yield f.result()
+
+
 def decode_channels_multidevice(
     i_windows: np.ndarray,
     q_windows: np.ndarray,
@@ -1151,6 +1187,7 @@ __all__ = [
     "multichannel_decode_device",
     "prepare_windows",
     "decode_channels",
+    "decode_channels_pipelined",
     "decode_channels_multidevice",
     "shard_windows",
     "DEFAULT_MAX_ATTEMPTS",

@@ -197,6 +197,24 @@ def test_decode_channels_host_fec_matches_hybrid(batch_decode_env):
     assert got == expect
 
 
+def test_decode_channels_pipelined_matches_sequential(batch_decode_env):
+    """The 2-deep pipelined stream decode must yield each batch's spots
+    identical to sequential decode_channels calls, in order."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_pipelined,
+    )
+
+    wi, wq, expect = batch_decode_env
+    out = list(decode_channels_pipelined(
+        [(wi, wq), (wi, wq), (wi, wq)], DecoderOptions(quickmode=True),
+        device_batch=3))
+    assert len(out) == 3
+    for spots in out:
+        got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in spots]
+        assert got == expect
+
+
 def test_device_windows_replay_reproduces_state(rng):
     """After invalidate() (simulated worker crash) the replay log must
     rebuild the exact post-subtraction device state."""
