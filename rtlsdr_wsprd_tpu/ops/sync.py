@@ -26,6 +26,7 @@ full jitter schedule, wsprd/wsprd.c:739-766).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -37,6 +38,17 @@ from ..config import DF, DT, NBITS, NSPERSYM, NSYM, SIGNAL_SAMPLES
 from ..utils.channel import PR3_VECTOR
 
 TWOPIDT = 2.0 * np.pi * DT
+
+# Correlator operand precision (reductions always accumulate float32
+# via preferred_element_type). RTLSDR_WSPRD_TPU_SYNC_BF16=1 runs the
+# correlator operands in bfloat16: measured ~5% end-to-end throughput
+# gain (150 vs 143 windows/s at B=256) but a REAL sensitivity cost at
+# the decode floor (synthetic sweep, 32 trials/point: -29 dB 0.91 vs
+# 0.97, -30 dB 0.38 vs 0.50), because the soft-symbol normalization
+# amplifies the 8-bit-mantissa noise near threshold. float32 stays the
+# default; the knob exists for throughput-over-sensitivity deployments.
+_BF16 = os.environ.get("RTLSDR_WSPRD_TPU_SYNC_BF16", "0") == "1"
+_CDT = jnp.bfloat16 if _BF16 else jnp.float32
 
 # E_TONE[j, t] = exp(-i * 2*pi*dt * (t-1.5)*DF * j): static tone phasors
 _j = np.arange(NSPERSYM, dtype=np.float64)
@@ -61,7 +73,8 @@ def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray):
     fp = f0[:, None] + (drift[:, None] / 2.0) * (i[None, :] - NBITS) / NBITS  # (C,162)
     dphi = TWOPIDT * fp  # (C,162)
     phase = dphi[:, :, None] * jnp.arange(NSPERSYM, dtype=jnp.float32)  # (C,162,256)
-    return jnp.cos(phase), -jnp.sin(phase)
+    return (jnp.cos(phase).astype(_CDT),
+            (-jnp.sin(phase)).astype(_CDT))
 
 
 def _gather_symbols(sig_i: jnp.ndarray, sig_q: jnp.ndarray,
@@ -174,7 +187,9 @@ def _tone_mags(yr: jnp.ndarray, yi: jnp.ndarray,
 
 
 def _derotate(xr, xi, ecr, eci):
-    """y = x * ec, planar."""
+    """y = x * ec, planar (in the correlator compute dtype)."""
+    xr = xr.astype(_CDT)
+    xi = xi.astype(_CDT)
     return xr * ecr - xi * eci, xr * eci + xi * ecr
 
 
@@ -203,8 +218,8 @@ def _fine_sync_core(
 ) -> FineSync:
     """Shared mode-0/mode-1 body over already-built (C, WLEN) windows."""
     ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
-    etr = jnp.asarray(E_TONE_R)
-    eti = jnp.asarray(E_TONE_I)
+    etr = jnp.asarray(E_TONE_R).astype(_CDT)
+    eti = jnp.asarray(E_TONE_I).astype(_CDT)
 
     # ---- mode 0: lag search ----
     rel_lags = jnp.arange(-128, 129, lagstep, dtype=jnp.int32)
@@ -233,6 +248,8 @@ def _fine_sync_core(
           - efi[:, :, None] * eti[:, None, :]).reshape(NSPERSYM, 20)
     ei = (efr[:, :, None] * eti[:, None, :]
           + efi[:, :, None] * etr[:, None, :]).reshape(NSPERSYM, 20)
+    er = er.astype(_CDT)
+    ei = ei.astype(_CDT)
 
     # shift1 - shift in [-128, 128] -> still inside the same windows
     xr, xi = _window_symbols_percand(wr, wi, shift1 - shift + HALF_SPAN)
@@ -311,8 +328,8 @@ def _soft_symbols_core(
 ) -> JitteredSymbols:
     """Shared mode-2 body over already-built (C, WLEN) windows."""
     ecr, eci = _cand_phasor_conj(freq, drift)
-    etr = jnp.asarray(E_TONE_R)
-    eti = jnp.asarray(E_TONE_I)
+    etr = jnp.asarray(E_TONE_R).astype(_CDT)
+    eti = jnp.asarray(E_TONE_I).astype(_CDT)
     jit = jnp.asarray(jitter_offsets(iifac, quickmode))
 
     pr3 = jnp.asarray(_PR3)

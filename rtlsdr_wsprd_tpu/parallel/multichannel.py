@@ -988,6 +988,11 @@ def decode_channels(
 
     uniques: list[list[Spot]] = [[] for _ in range(B)]
     seen: list[list[tuple[str, float]]] = [[] for _ in range(B)]
+    # subtraction re-encodes each decoded message; memoize per call —
+    # the same transmission routinely decodes on many channels, and
+    # re-encoding an identical message is idempotent (same packed bits,
+    # same hashtable insert)
+    sym_cache: dict[str, np.ndarray | None] = {}
 
     for ipass in range(options.npasses):
         if ipass == 1 and not any(uniques):
@@ -1038,13 +1043,18 @@ def decode_channels(
                 freq_s, shift_s, drift_s = (
                     tbl["freq"], tbl["shift"], tbl["drift"])
             for c, call_loc_pow in new_decodes:
-                chan_syms = get_wspr_channel_symbols(call_loc_pow, ht)
+                if call_loc_pow in sym_cache:
+                    chan_syms = sym_cache[call_loc_pow]
+                else:
+                    cs = get_wspr_channel_symbols(call_loc_pow, ht)
+                    chan_syms = (None if cs is None
+                                 else np.asarray(cs, np.uint8))
+                    sym_cache[call_loc_pow] = chan_syms
                 if chan_syms is None:
                     continue
                 subs.setdefault(b, []).append((
                     float(freq_s[b, c]), int(shift_s[b, c]),
-                    float(drift_s[b, c]),
-                    np.asarray(chan_syms, np.uint8)))
+                    float(drift_s[b, c]), chan_syms))
         if subs:
             n_rounds = max(len(v) for v in subs.values())
             _LOG.debug("subtracting %d decodes in %d rounds",
