@@ -62,7 +62,8 @@ def main() -> None:
     )
 
     B = 256
-    DB = 64  # per-device-call sub-batch (stage A HBM bound)
+    DB = 128  # per-device-call sub-batch (fewer tunnel round-trips;
+    # coarse-grid intermediates still fit HBM at 128)
     wi, wq = make_batch(B)
     options = DecoderOptions()
 

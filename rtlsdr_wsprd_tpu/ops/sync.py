@@ -50,6 +50,18 @@ TWOPIDT = 2.0 * np.pi * DT
 _BF16 = os.environ.get("RTLSDR_WSPRD_TPU_SYNC_BF16", "0") == "1"
 _CDT = jnp.bfloat16 if _BF16 else jnp.float32
 
+
+def _scan_unroll() -> int:
+    """Unroll factor for the lag/jitter scans. The steps are
+    independent (the scan is a map over offsets), so larger unrolls cut
+    tunnel while_loop round-trips (~1.5 ms each) and give XLA freedom
+    to co-schedule steps, at the cost of compile time. Tunable via
+    RTLSDR_WSPRD_TPU_SCAN_UNROLL."""
+    v = os.environ.get("RTLSDR_WSPRD_TPU_SCAN_UNROLL")
+    if v:
+        return int(v)
+    return 4 if jax.default_backend() == "tpu" else 1
+
 # E_TONE[j, t] = exp(-i * 2*pi*dt * (t-1.5)*DF * j): static tone phasors
 _j = np.arange(NSPERSYM, dtype=np.float64)
 _t = np.arange(4, dtype=np.float64) - 1.5
@@ -230,9 +242,8 @@ def _fine_sync_core(
         p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
         return None, _sync_from_powers(p)
 
-    scan_unroll = 4 if jax.default_backend() == "tpu" else 1
     _, sync_l = jax.lax.scan(lag_step, None, rel_lags,
-                             unroll=scan_unroll)  # (L, C)
+                             unroll=_scan_unroll())  # (L, C)
     best_l = jnp.argmax(sync_l, axis=0)  # first max wins = C lag order
     shift1 = shift + rel_lags[best_l]
 
@@ -353,9 +364,8 @@ def _soft_symbols_core(
         rms = jnp.sqrt(jnp.sum(y * y, axis=-1) / NSYM)
         return None, (sym, sync, rms)
 
-    scan_unroll = 4 if jax.default_backend() == "tpu" else 1
     _, (sym, sync, rms) = jax.lax.scan(jit_step, None, jit,
-                                       unroll=scan_unroll)
+                                       unroll=_scan_unroll())
     return JitteredSymbols(symbols=sym, sync=sync, rms=rms)
 
 
