@@ -197,6 +197,28 @@ def test_decode_channels_host_fec_matches_hybrid(batch_decode_env):
     assert got == expect
 
 
+def test_stage_a_rows_matches_packed(batch_decode_env):
+    """The row-sliced stage A used for later passes must equal the
+    contiguous-slab form on the same windows."""
+    import jax.numpy as jnp
+
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        _stage_a_packed,
+        _stage_a_rows,
+    )
+
+    wi, wq, _ = batch_decode_env
+    si, sq = jnp.asarray(wi), jnp.asarray(wq)
+    md = jnp.full((2,), 4, jnp.int32)
+    rows = jnp.asarray(np.array([2, 0], np.int32))
+    got = np.asarray(_stage_a_rows(si, sq, rows, md,
+                                   fmin=-110.0, fmax=110.0))
+    ref = np.asarray(_stage_a_packed(si[np.array([2, 0])],
+                                     sq[np.array([2, 0])], md,
+                                     fmin=-110.0, fmax=110.0))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_decode_channels_pipelined_matches_sequential(batch_decode_env):
     """The 2-deep pipelined stream decode must yield each batch's spots
     identical to sequential decode_channels calls, in order."""
