@@ -110,6 +110,25 @@ def test_empty_window():
     assert spots == []
 
 
+def test_prefixed_message_roundtrip(tmp_path):
+    """Type 2 (prefixed/suffixed callsign, no grid) end-to-end decode
+    through the full pipeline (pack_prefix wsprsim_utils.c:80-142 /
+    unpackpfx wsprd_utils.c:152-194)."""
+    from rtlsdr_wsprd_tpu.models.decoder import WsprDecoder
+
+    dec = WsprDecoder(OPTS.with_(usehashtable=True),
+                      hashtable_path=str(tmp_path / "hashtable.txt"))
+    i, q = synth_window_at_snr("PJ4/K1ABC 37", snr_db=5, f0=15.0, seed=33)
+    i, q = normalize_minus3db(i, q)
+    spots = dec.decode(i, q)
+    # reference parity: type 2 fills message/callsign but leaves the
+    # call/loc/pwr columns EMPTY (wsprd_utils.c:266-279 sets only
+    # call_loc_pow + callsign on that branch)
+    assert [s.message for s in spots] == ["PJ4/K1ABC 37"]
+    assert spots[0].call == "" and spots[0].loc == ""
+    assert not spots[0].noprint  # 37 dBm is a legal power -> printed
+
+
 def test_hashed_message_roundtrip(tmp_path):
     """Type 3 (<call> grid6 pwr) decode; hashtable lookup resolves the
     callsign when a prior type-1 decode inserted it."""
