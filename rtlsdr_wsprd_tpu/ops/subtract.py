@@ -81,7 +81,11 @@ def _fir_same(x: jnp.ndarray) -> jnp.ndarray:
         xp[NFILT:NFILT + SIGNAL_SAMPLES].reshape(_NFRAME, NFILT),
         xp[2 * NFILT:2 * NFILT + SIGNAL_SAMPLES].reshape(_NFRAME, NFILT),
     ], axis=1)                                     # (125, 1080)
-    y = jnp.dot(xcat, jnp.asarray(_W3),
+    # precision="highest": TPU default matmul truncates f32 operands to
+    # bfloat16 (verified on this backend); the subtraction rewrites
+    # SAMPLES, so a -48 dB filter error would leak into the pass-2
+    # residual right at the weak-signal floor
+    y = jnp.dot(xcat, jnp.asarray(_W3), precision="highest",
                 preferred_element_type=jnp.float32)
     return y.reshape(-1)
 
@@ -185,15 +189,20 @@ def subtract_rows(sig_i, sig_q, bidx, f0, shift, drift, symbols, enable):
     B = sig_i.shape[0]
     sel = (bidx[:, None] == jnp.arange(B, dtype=bidx.dtype)[None, :])
     sel_f = sel.astype(sig_i.dtype)              # (R, B) one-hot rows
-    row_i = jnp.dot(sel_f, sig_i, preferred_element_type=jnp.float32)
-    row_q = jnp.dot(sel_f, sig_q, preferred_element_type=jnp.float32)
+    # precision="highest" keeps the picked/written samples bit-exact:
+    # the TPU's default matmul truncates f32 operands to bfloat16
+    # (verified on this backend), which would corrupt every subtracted
+    # window's samples by ~-48 dB
+    hp = dict(precision="highest", preferred_element_type=jnp.float32)
+    row_i = jnp.dot(sel_f, sig_i, **hp)
+    row_q = jnp.dot(sel_f, sig_q, **hp)
     ni, nq = jax.vmap(subtract_signal2)(row_i, row_q, f0, shift, drift,
                                         symbols)
     en = enable[:, None]
     di = jnp.where(en, ni - row_i, 0.0)
     dq = jnp.where(en, nq - row_q, 0.0)
-    return (sig_i + jnp.dot(sel_f.T, di, preferred_element_type=jnp.float32),
-            sig_q + jnp.dot(sel_f.T, dq, preferred_element_type=jnp.float32))
+    return (sig_i + jnp.dot(sel_f.T, di, **hp),
+            sig_q + jnp.dot(sel_f.T, dq, **hp))
 
 
 @jax.jit

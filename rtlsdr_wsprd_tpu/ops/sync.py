@@ -40,13 +40,14 @@ from ..utils.channel import PR3_VECTOR
 TWOPIDT = 2.0 * np.pi * DT
 
 # Correlator operand precision (reductions always accumulate float32
-# via preferred_element_type). RTLSDR_WSPRD_TPU_SYNC_BF16=1 runs the
-# correlator operands in bfloat16: measured ~5% end-to-end throughput
-# gain (150 vs 143 windows/s at B=256) but a REAL sensitivity cost at
-# the decode floor (synthetic sweep, 32 trials/point: -29 dB 0.91 vs
-# 0.97, -30 dB 0.38 vs 0.50), because the soft-symbol normalization
-# amplifies the 8-bit-mantissa noise near threshold. float32 stays the
-# default; the knob exists for throughput-over-sensitivity deployments.
+# via preferred_element_type). NB the TPU backend's DEFAULT matmul
+# already truncates f32 operands to bfloat16 (verified), so the MXU
+# einsums here are bf16-operand either way; this knob additionally
+# casts the elementwise derotate/phasor operands.
+# RTLSDR_WSPRD_TPU_SYNC_BF16=1 measured: ~5% end-to-end throughput
+# gain, fixed-seed sensitivity-sweep decode counts IDENTICAL to
+# float32 at every SNR point (-28..-31 dB). Kept off by default to
+# preserve exact float32 elementwise semantics for parity tests.
 _BF16 = os.environ.get("RTLSDR_WSPRD_TPU_SYNC_BF16", "0") == "1"
 _CDT = jnp.bfloat16 if _BF16 else jnp.float32
 

@@ -365,11 +365,20 @@ def _default_fec_mode() -> str:
     sequential decoder (native/hostdsp.cpp) finishes a clean attempt in
     ~25 us and even a full-budget timeout in ~11 ms. On such backends
     host-first FEC wins outright; locally attached chips keep the
-    batched device search with host straggler finish."""
-    if native.AVAILABLE and os.environ.get(
-            "JAX_PLATFORMS", "").startswith("axon"):
-        return "host"
-    return "hybrid"
+    batched device search with host straggler finish.
+
+    Tunnel detection: the PJRT client's platform_version names the
+    plugin ("axon x.y.z ..."), which holds however the platform was
+    selected; the env var is the fallback when no backend is up yet."""
+    if not native.AVAILABLE:
+        return "hybrid"
+    try:
+        pv = str(getattr(jax.devices()[0].client, "platform_version", ""))
+    except Exception:
+        pv = ""
+    tunneled = ("axon" in pv.lower()
+                or "axon" in os.environ.get("JAX_PLATFORMS", ""))
+    return "host" if tunneled else "hybrid"
 
 
 def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
@@ -813,6 +822,8 @@ def _staged_pass(
     b_kw = {k: kw[k] for k in (
         "lagstep", "iifac", "quickmode", "symfac", "minsync1", "minsync2",
         "minrms")}
+    fec_mode = fec if fec != "auto" else _default_fec_mode()
+    host_fec = fec_mode == "host" and native.AVAILABLE
 
     for l0 in range(0, G, LANE_BUCKETS[-1]):
         l1 = min(l0 + LANE_BUCKETS[-1], G)
@@ -830,8 +841,11 @@ def _staged_pass(
         ls[:n] = sA[sel_w, 3, sel_c].astype(np.int32)
         ld[:n] = sA[sel_w, 4, sel_c]
         lv[:n] = True
-        fec_mode = fec if fec != "auto" else _default_fec_mode()
-        host_fec = fec_mode == "host" and native.AVAILABLE
+        # stage B + FEC, all inside the crash-retry envelope: the
+        # deferred column fetch and the hybrid device Fano rounds talk
+        # to the device too, and a worker restart anywhere in the
+        # bucket is recovered the same way (invalidate + re-upload +
+        # replay; every step is deterministic, so re-running is safe)
         for attempt in range(3):
             try:
                 sig_i, sig_q = dw.arrays
@@ -839,19 +853,38 @@ def _staged_pass(
                     sig_i, sig_q, jnp.asarray(lw), jnp.asarray(lf),
                     jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
                     **b_kw)
-                lane_f32, gate, pre_j, pre_syms = (
-                    np.asarray(x) for x in pk[:4])
+                lane_f32, gate = (np.asarray(x) for x in pk[:2])
                 deint_ref = pk[4]
-                # the dense (J, G, 162) symbol block only crosses the
-                # link for the hybrid path; host FEC reads the per-lane
-                # prefetch and pulls rare extra columns on demand
-                deint = None if host_fec else np.asarray(deint_ref)
                 _LOG.debug("stage B fetch done (%d gate-passing attempts)",
                            int(gate.sum()))
+                if host_fec:
+                    # host FEC reads the per-lane attempt prefetch and
+                    # pulls rare extra columns on demand; the dense
+                    # (J, G, 162) block never crosses the link
+                    pre_j, pre_syms = (np.asarray(x) for x in pk[2:4])
+
+                    def fetch_rest(lanes, _ref=deint_ref):
+                        L = len(lanes)
+                        bkt = next(k for k in LANE_BUCKETS if L <= k)
+                        lv_ = np.full(bkt, lanes[0], np.int32)
+                        lv_[:L] = lanes
+                        return np.asarray(_compact_lane_columns(
+                            _ref, jnp.asarray(lv_)))[:L]
+
+                    decoded = _fano_rounds_host_prefetch(
+                        gate[:, :n], pre_j[:n], pre_syms[:n], fetch_rest,
+                        options.delta, options.maxcycles)
+                else:
+                    deint = np.asarray(deint_ref)
+                    decoded = _fano_rounds(gate[:, :n], deint[:, :n],
+                                           options.delta, kw["maxcycles"],
+                                           options.maxcycles,
+                                           device=dw.device, fec=fec_mode)
                 break
             except jax.errors.JaxRuntimeError as e:
-                _LOG.warning("stage B crashed (lanes %d:%d, attempt %d): %s",
-                             l0, l1, attempt, str(e)[:80])
+                _LOG.warning("stage B/FEC crashed (lanes %d:%d, "
+                             "attempt %d): %s", l0, l1, attempt,
+                             str(e)[:80])
                 if attempt == 2:
                     raise
                 time.sleep(5.0 * (attempt + 1))
@@ -861,27 +894,6 @@ def _staged_pass(
         tbl["freq"][sel_w, sel_c] = lane_f32[0, :n]
         tbl["shift"][sel_w, sel_c] = lane_f32[1, :n]
         tbl["sync"][sel_w, sel_c] = lane_f32[2, :n]
-
-        # host-driven FEC rounds: per lane, first success in jitter
-        # schedule order (host-first with attempt prefetch, or hybrid
-        # device budget + native stragglers)
-        if host_fec:
-            def fetch_rest(lanes):
-                L = len(lanes)
-                bkt = next(k for k in LANE_BUCKETS if L <= k)
-                lv_ = np.full(bkt, lanes[0], np.int32)
-                lv_[:L] = lanes
-                return np.asarray(_compact_lane_columns(
-                    deint_ref, jnp.asarray(lv_)))[:L]
-
-            decoded = _fano_rounds_host_prefetch(
-                gate[:, :n], pre_j[:n], pre_syms[:n], fetch_rest,
-                options.delta, options.maxcycles)
-        else:
-            decoded = _fano_rounds(gate[:, :n], deint[:, :n],
-                                   options.delta, kw["maxcycles"],
-                                   options.maxcycles, device=dw.device,
-                                   fec=fec_mode)
         _LOG.debug("fano rounds done (%d decodes)", len(decoded))
         for g, (j, data, cycles) in decoded.items():
             decoded_by_b[int(sel_w[g])][int(sel_c[g])] = (j, data, cycles)
@@ -1122,6 +1134,14 @@ def decode_channels_pipelined(
     batch k's device stages, so steady-state throughput approaches the
     device-bound limit — the TPU analog of the reference's RX/decode
     double buffer (rtlsdr_wsprd.c:75-91). bench.py measures this path.
+
+    Hashtable visibility: the shared table is safe under concurrency
+    (dict ops are GIL-atomic) but a batch may not see callsign hashes
+    inserted by the ``depth - 1`` batches still in flight — a type-3
+    ``<hash>`` spot whose teaching type-1 decode is in the immediately
+    preceding batch can resolve as ``<...>``. Sequential
+    ``decode_channels`` calls (e.g. the 2-minute daemon cadence, where
+    latency is irrelevant) keep exact reference ordering.
     """
     from concurrent.futures import ThreadPoolExecutor
 

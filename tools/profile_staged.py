@@ -23,8 +23,9 @@ from bench import make_batch  # noqa: E402
 from rtlsdr_wsprd_tpu.config import DecoderOptions  # noqa: E402
 from rtlsdr_wsprd_tpu.parallel import multichannel as mc  # noqa: E402
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-DB = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+_pos = [a for a in sys.argv[1:] if a != "-v"]
+B = int(_pos[0]) if len(_pos) > 0 else 256
+DB = int(_pos[1]) if len(_pos) > 1 else 64
 
 
 class PhaseLog(logging.Handler):

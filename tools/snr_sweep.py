@@ -6,7 +6,8 @@ the current backend, and prints the decode rate. The WSPR protocol's
 design sensitivity is about -28 dB SNR in 2500 Hz (SURVEY.md section
 6); the reference decoder's practical floor is around -26..-28 dB.
 
-Usage: python tools/snr_sweep.py [trials_per_point]
+Usage: python tools/snr_sweep.py [trials_per_point] [transfer_dtype]
+(transfer_dtype: int8 default, int16, float32)
 """
 
 from __future__ import annotations
@@ -28,9 +29,10 @@ MSG = "K1JT FN20 37"
 
 def main() -> None:
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    tdt = sys.argv[2] if len(sys.argv) > 2 else "int8"
     options = DecoderOptions()
     rng = np.random.default_rng(2026)
-    print(f"{'SNR dB':>7} {'decoded':>8} {'rate':>6}")
+    print(f"{'SNR dB':>7} {'decoded':>8} {'rate':>6}  (transfer={tdt})")
     for snr in SNRS:
         wi = np.zeros((trials, 45000), np.float32)
         wq = np.zeros((trials, 45000), np.float32)
@@ -39,7 +41,8 @@ def main() -> None:
             i, q = synth_window_at_snr(MSG, snr_db=float(snr), f0=f0,
                                        seed=int(rng.integers(1 << 30)))
             wi[t], wq[t] = normalize_minus3db(i, q)
-        spots = decode_channels(wi, wq, options, device_batch=32)
+        spots = decode_channels(wi, wq, options, device_batch=32,
+                                transfer_dtype=tdt)
         ok = sum(1 for ch in spots
                  for s in ch if s.call == "K1JT" and s.loc == "FN20")
         print(f"{snr:>7} {ok:>5}/{trials:<3} {ok / trials:>6.2f}")
