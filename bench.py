@@ -79,7 +79,7 @@ def main() -> None:
         decode_channels_pipelined,
     )
 
-    iters = 4
+    iters = 6
     t0 = time.perf_counter()
     for _ in decode_channels_pipelined(
             ((wi, wq) for _ in range(iters)), options, device_batch=DB):
@@ -111,6 +111,10 @@ def main() -> None:
     fe_dt = time.perf_counter() - t0
     fe_msps = n_frames * R1 * fe_iters / fe_dt / 1e6
 
+    # candidate syncs/s (BASELINE.json metric): coarse-grid sync-metric
+    # evaluations per second — each window scores the full
+    # (512 rows x 32 lags x 9 drifts) grid at least once per pass
+    syncs_per_window = 512 * 32 * 9
     print(json.dumps({
         "metric": "decode_windows_per_s_per_chip",
         "value": round(windows_per_s, 3),
@@ -118,6 +122,7 @@ def main() -> None:
         "vs_baseline": round(windows_per_s / REF_WINDOWS_PER_S, 3),
         "batch": B,
         "spots_per_batch": n_spots,
+        "candidate_syncs_per_s": int(windows_per_s * syncs_per_window),
         "realtime_channels_per_chip": int(windows_per_s * 120),
         "frontend_msps": round(fe_msps, 1),
         "frontend_realtime_channels": int(fe_msps / 2.4),
