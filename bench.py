@@ -90,26 +90,29 @@ def main() -> None:
     windows_per_s = B * iters / dt
 
     # secondary: streaming front-end throughput (stage 1 runs at the
-    # full 2.4 Msps input rate and dominates; rtlsdr_wsprd.c "RX load")
+    # full 2.4 Msps input rate and dominates; rtlsdr_wsprd.c "RX load").
+    # Production shape: many channels ingest together — the batched
+    # kernel multiplies work per scan step instead of step count.
     import jax.numpy as jnp
 
-    from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_xla
+    from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_batched
     from rtlsdr_wsprd_tpu.frontend.filters import R1, STAGE1_TAPS
 
-    n_frames = 300_000  # 24M samples = 10 s of stream
+    C = 128             # channels per ingest call
+    n_frames = 9_375    # 0.025 s of 30 ksps output per channel per call
     L = n_frames * R1 + STAGE1_TAPS - R1
     rng = np.random.default_rng(3)
-    xI = jnp.asarray(rng.normal(0, 30, L).astype(np.float32))
-    xQ = jnp.asarray(rng.normal(0, 30, L).astype(np.float32))
-    mI, mQ = decimate_stage1_xla(xI, xQ, n_frames)
-    float(np.asarray(mI[0]))  # barrier (block_until_ready is a no-op here)
+    xI = jnp.asarray(rng.normal(0, 30, (C, L)).astype(np.float32))
+    xQ = jnp.asarray(rng.normal(0, 30, (C, L)).astype(np.float32))
+    mI, mQ = decimate_stage1_batched(xI, xQ, n_frames)
+    float(np.asarray(mI[0, 0]))  # barrier (block_until_ready is a no-op)
     t0 = time.perf_counter()
-    fe_iters = 3
+    fe_iters = 5
     for _ in range(fe_iters):
-        mI, mQ = decimate_stage1_xla(xI, xQ, n_frames)
-        float(np.asarray(mI[0]))
+        mI, mQ = decimate_stage1_batched(xI, xQ, n_frames)
+        float(np.asarray(mI[0, 0]))
     fe_dt = time.perf_counter() - t0
-    fe_msps = n_frames * R1 * fe_iters / fe_dt / 1e6
+    fe_msps = C * n_frames * R1 * fe_iters / fe_dt / 1e6
 
     # candidate syncs/s (BASELINE.json metric): coarse-grid sync-metric
     # evaluations per second — each window scores the full

@@ -98,6 +98,31 @@ def test_pallas_matches_xla():
                                atol=1e-4)
 
 
+def test_batched_stage1_matches_single_stream():
+    """decimate_stage1_batched row c must equal decimate_stage1_xla on
+    stream c exactly (same per-row program under vmap)."""
+    import jax.numpy as jnp
+
+    from rtlsdr_wsprd_tpu.frontend.decimate import (
+        decimate_stage1_batched,
+        decimate_stage1_xla,
+    )
+    from rtlsdr_wsprd_tpu.frontend.filters import R1, STAGE1_TAPS
+
+    n_frames = 600
+    L = n_frames * R1 + STAGE1_TAPS - R1
+    rng = np.random.default_rng(8)
+    xI = rng.normal(0, 30, (3, L)).astype(np.float32)
+    xQ = rng.normal(0, 30, (3, L)).astype(np.float32)
+    bI, bQ = decimate_stage1_batched(jnp.asarray(xI), jnp.asarray(xQ),
+                                     n_frames)
+    for c in range(3):
+        sI, sQ = decimate_stage1_xla(jnp.asarray(xI[c]), jnp.asarray(xQ[c]),
+                                     n_frames)
+        np.testing.assert_array_equal(np.asarray(bI[c]), np.asarray(sI))
+        np.testing.assert_array_equal(np.asarray(bQ[c]), np.asarray(sQ))
+
+
 def test_streaming_matches_oneshot():
     """Chunked push through StreamingDecimator == one-shot decimate."""
     rng = np.random.default_rng(9)
