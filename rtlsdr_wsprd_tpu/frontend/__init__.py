@@ -28,8 +28,11 @@ from .filters import (
     stage2_coeffs,
 )
 from .decimate import (
+    BatchedStreamingDecimator,
     StreamingDecimator,
+    decimate_stage1_batched,
     decimate_stage1_xla,
+    decimate_stage2_batched,
     decimate_stage2_xla,
     decimate_window,
 )
@@ -38,5 +41,6 @@ __all__ = [
     "R1", "R2", "STAGE1_TAPS", "STAGE2_TAPS", "GROUP_DELAY_375",
     "stage1_coeffs", "stage2_coeffs",
     "decimate_stage1_xla", "decimate_stage2_xla", "decimate_window",
-    "StreamingDecimator",
+    "decimate_stage1_batched", "decimate_stage2_batched",
+    "StreamingDecimator", "BatchedStreamingDecimator",
 ]

@@ -124,6 +124,16 @@ def decimate_stage2_xla(midI: jnp.ndarray, midQ: jnp.ndarray,
     return _polyphase_chunked(midI, midQ, M2, R2, STAGE2_TAPS, n_frames)
 
 
+def decimate_stage2_batched(midI: jnp.ndarray, midQ: jnp.ndarray,
+                            n_frames: int):
+    """Stage-2 polyphase over a channel batch: (C, L2) -> (C, n_frames),
+    L2 = n_frames*R2 + STAGE2_TAPS - R2."""
+    _, M2 = _mats()
+    return jax.vmap(
+        lambda a, b: _polyphase_chunked(a, b, M2, R2, STAGE2_TAPS, n_frames)
+    )(midI, midQ)
+
+
 @jax.jit
 def u8_planar_to_f32(u8: jnp.ndarray) -> jnp.ndarray:
     """RTL uint8 -> centered float32 (the reference's XOR 0x80 recenter,
@@ -256,3 +266,77 @@ class StreamingDecimator:
         """Drain every whole output frame still in the pipeline."""
         return self.push(np.zeros(0, np.float32), np.zeros(0, np.float32),
                          exact=True)
+
+
+class BatchedStreamingDecimator:
+    """Stateful streaming front end for C channels in lockstep.
+
+    Production many-dongle/many-band ingest: all channels receive the
+    same-size chunk each ``push`` (a multi-channel source naturally
+    delivers aligned blocks), so one batched device call advances every
+    stream — the batched stage-1 kernel runs ~3x the aggregate Msps of
+    per-channel calls (see decimate_stage1_batched). Per-row math is
+    identical to StreamingDecimator; states are (C, n) planes.
+    """
+
+    QUANT1 = StreamingDecimator.QUANT1
+    QUANT2 = StreamingDecimator.QUANT2
+
+    def __init__(self, n_channels: int):
+        C = n_channels
+        prime1 = STAGE1_TAPS // 2
+        prime2 = STAGE2_TAPS // 2
+        self._bufI = np.zeros((C, prime1), np.float32)
+        self._bufQ = np.zeros((C, prime1), np.float32)
+        self._midI = np.zeros((C, prime2), np.float32)
+        self._midQ = np.zeros((C, prime2), np.float32)
+        self._tail1 = STAGE1_TAPS - R1
+        self._tail2 = STAGE2_TAPS - R2
+
+    def push(self, rawI: np.ndarray, rawQ: np.ndarray,
+             exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        """Feed (C, n) planar chunks (uint8 or float); returns newly
+        available (C, m) planar 375 sps samples (m can be 0)."""
+        if rawI.dtype == np.uint8:
+            fI = rawI.astype(np.float32) - 128.0
+            fQ = rawQ.astype(np.float32) - 128.0
+        else:
+            fI = np.asarray(rawI, np.float32)
+            fQ = np.asarray(rawQ, np.float32)
+        self._bufI = np.concatenate([self._bufI, fI], axis=1)
+        self._bufQ = np.concatenate([self._bufQ, fQ], axis=1)
+
+        n_mid = (self._bufI.shape[1] - self._tail1) // R1
+        if not exact:
+            n_mid -= n_mid % self.QUANT1
+        if n_mid > 0:
+            need = n_mid * R1 + self._tail1
+            mi, mq = decimate_stage1_batched(
+                jnp.asarray(self._bufI[:, :need]),
+                jnp.asarray(self._bufQ[:, :need]), n_mid)
+            consumed = n_mid * R1
+            self._bufI = self._bufI[:, consumed:]
+            self._bufQ = self._bufQ[:, consumed:]
+            self._midI = np.concatenate([self._midI, np.asarray(mi)], axis=1)
+            self._midQ = np.concatenate([self._midQ, np.asarray(mq)], axis=1)
+
+        n_out = (self._midI.shape[1] - self._tail2) // R2
+        if not exact:
+            n_out -= n_out % self.QUANT2
+        C = self._bufI.shape[0]
+        if n_out <= 0:
+            return (np.zeros((C, 0), np.float32),
+                    np.zeros((C, 0), np.float32))
+        need2 = n_out * R2 + self._tail2
+        oi, oq = decimate_stage2_batched(
+            jnp.asarray(self._midI[:, :need2]),
+            jnp.asarray(self._midQ[:, :need2]), n_out)
+        self._midI = self._midI[:, n_out * R2:]
+        self._midQ = self._midQ[:, n_out * R2:]
+        return np.asarray(oi), np.asarray(oq)
+
+    def flush(self) -> tuple[np.ndarray, np.ndarray]:
+        """Drain every whole output frame still in the pipeline."""
+        C = self._bufI.shape[0]
+        return self.push(np.zeros((C, 0), np.float32),
+                         np.zeros((C, 0), np.float32), exact=True)

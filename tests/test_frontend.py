@@ -123,6 +123,38 @@ def test_batched_stage1_matches_single_stream():
         np.testing.assert_array_equal(np.asarray(bQ[c]), np.asarray(sQ))
 
 
+def test_batched_streaming_matches_per_channel():
+    """BatchedStreamingDecimator row c must equal an independent
+    StreamingDecimator fed channel c's chunks."""
+    from rtlsdr_wsprd_tpu.frontend.decimate import (
+        BatchedStreamingDecimator,
+        StreamingDecimator,
+    )
+
+    C = 2
+    rng = np.random.default_rng(9)
+    chunks = [rng.integers(0, 256, (C, n)).astype(np.uint8)
+              for n in (700_000, 500_000, 900_000)]
+    chunksQ = [rng.integers(0, 256, c.shape).astype(np.uint8)
+               for c in chunks]
+
+    batched = BatchedStreamingDecimator(C)
+    outs = [batched.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    outs.append(batched.flush())
+    bI = np.concatenate([o[0] for o in outs], axis=1)
+    bQ = np.concatenate([o[1] for o in outs], axis=1)
+
+    for c in range(C):
+        single = StreamingDecimator()
+        souts = [single.push(ci[c], cq[c])
+                 for ci, cq in zip(chunks, chunksQ)]
+        souts.append(single.flush())
+        sI = np.concatenate([o[0] for o in souts])
+        sQ = np.concatenate([o[1] for o in souts])
+        np.testing.assert_array_equal(bI[c], sI)
+        np.testing.assert_array_equal(bQ[c], sQ)
+
+
 def test_streaming_matches_oneshot():
     """Chunked push through StreamingDecimator == one-shot decimate."""
     rng = np.random.default_rng(9)
