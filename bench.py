@@ -61,7 +61,7 @@ def main() -> None:
         decode_channels,
     )
 
-    B = 256
+    B = 512   # windows per pipeline batch (two batches in flight)
     DB = 128  # per-device-call sub-batch (fewer tunnel round-trips;
     # coarse-grid intermediates still fit HBM at 128)
     wi, wq = make_batch(B)
