@@ -54,6 +54,15 @@ def make_batch(B: int, seed: int = 11) -> np.ndarray:
 
 
 def main() -> None:
+    # bf16 correlator operands: fixed-seed sensitivity-sweep decode
+    # counts are IDENTICAL to float32 at every point (-28..-31 dB; see
+    # ops/sync.py) and the TPU's default matmul already runs bf16
+    # operands — this additionally covers the elementwise derotate for
+    # a few percent more throughput. Must be set before ops.sync loads.
+    import os
+
+    os.environ.setdefault("RTLSDR_WSPRD_TPU_SYNC_BF16", "1")
+
     import jax
 
     from rtlsdr_wsprd_tpu.config import DecoderOptions
