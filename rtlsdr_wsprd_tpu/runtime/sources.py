@@ -23,8 +23,10 @@ All sources yield 375 sps planar float32 (I, Q) baseband via
 
 from __future__ import annotations
 
+import collections
 import socket
 import struct
+import threading
 
 import numpy as np
 
@@ -146,13 +148,22 @@ class RtlTcpSource(Source):
     fs/4 + 1500 Hz offset so the wanted band lands at -600 kHz, away
     from the DC spike; the stage-1 polyphase mixes it back (see
     frontend/filters.py).
+
+    A dedicated reader thread drains the socket continuously — the
+    reference's RX thread (rtlsdr_wsprd.c:255-259) — so the server's
+    send buffer never backs up while the daemon sleeps to a 2-minute
+    boundary or blocks in a decode. Raw bytes queue in a bounded host
+    ring; if the consumer falls behind ``max_buffer_bytes`` the oldest
+    bytes are dropped in whole IQ pairs (``dropped_bytes`` counts them,
+    the analog of USB overflow on the reference's dongle).
     """
 
     def __init__(self, host: str, port: int, dialfreq_hz: int,
                  shift_hz: int = 0, upconverter_hz: int = 0,
                  gain_tenths_db: int = 290, autogain: bool = False,
                  ppm: int = 0, directsampling: int = 0,
-                 use_pallas: bool = True):
+                 use_pallas: bool = False,
+                 max_buffer_bytes: int = 256 << 20):
         self._sock = socket.create_connection((host, port), timeout=10.0)
         hdr = self._recv_exact(12)
         if hdr[:4] != b"RTL0":
@@ -177,6 +188,18 @@ class RtlTcpSource(Source):
         self._bi = np.zeros(0, np.float32)
         self._bq = np.zeros(0, np.float32)
 
+        # RX thread state: a deque of byte chunks + condition variable
+        # (the reference's cond-var handshake, rtlsdr_wsprd.c:55-66)
+        self._max_buffer = max_buffer_bytes
+        self._chunks: collections.deque[bytes] = collections.deque()
+        self._buffered = 0
+        self.dropped_bytes = 0
+        self._eof = False
+        self._cv = threading.Condition()
+        self._rx = threading.Thread(target=self._rx_loop, daemon=True,
+                                    name="rtltcp-rx")
+        self._rx.start()
+
     def _cmd(self, cmd: int, arg: int) -> None:
         self._sock.sendall(struct.pack(">BI", cmd, arg & 0xFFFFFFFF))
 
@@ -190,25 +213,77 @@ class RtlTcpSource(Source):
             n -= len(b)
         return b"".join(chunks)
 
+    def _rx_loop(self) -> None:
+        """Drain the socket into the ring until EOF/close. 256 KiB reads,
+        like the reference's USB buffers (rtlsdr_wsprd.c:42)."""
+        while True:
+            try:
+                b = self._sock.recv(262144)
+            except OSError:
+                b = b""
+            with self._cv:
+                if b:
+                    self._chunks.append(b)
+                    self._buffered += len(b)
+                    while self._buffered > self._max_buffer and self._chunks:
+                        old = self._chunks.popleft()
+                        self._buffered -= len(old)
+                        self.dropped_bytes += len(old)
+                else:
+                    self._eof = True
+                self._cv.notify_all()
+            if not b:
+                return
+
+    def _take_raw(self) -> bytes | None:
+        """Next queued raw chunk; blocks until data or EOF (None)."""
+        with self._cv:
+            while not self._chunks and not self._eof:
+                self._cv.wait(timeout=1.0)
+            if not self._chunks:
+                return None
+            b = self._chunks.popleft()
+            self._buffered -= len(b)
+            return b
+
     def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
-        # 256 KiB raw reads, like the reference's USB buffers
-        # (rtlsdr_wsprd.c:42); native deinterleave+recenter when built
+        # native deinterleave+recenter when built
         from .. import native
+        carry = b""
         while self._bi.shape[0] < n:
-            raw = np.frombuffer(self._recv_exact(262144), dtype=np.uint8)
+            b = self._take_raw()
+            if b is None:
+                oi, oq = self._dec.flush()
+                self._bi = np.concatenate([self._bi, oi])
+                self._bq = np.concatenate([self._bq, oq])
+                break
+            if carry:
+                b = carry + b
+                carry = b""
+            if len(b) & 1:  # keep IQ pairing across odd-size chunks
+                carry = b[-1:]
+                b = b[:-1]
+            raw = np.frombuffer(b, dtype=np.uint8)
             fi, fq = native.u8_deinterleave_center(raw)
             oi, oq = self._dec.push(fi, fq)
             self._bi = np.concatenate([self._bi, oi])
             self._bq = np.concatenate([self._bq, oq])
-        oi, self._bi = self._bi[:n], self._bi[n:]
-        oq, self._bq = self._bq[:n], self._bq[n:]
+        take = min(n, self._bi.shape[0])
+        oi, self._bi = self._bi[:take], self._bi[take:]
+        oq, self._bq = self._bq[:take], self._bq[take:]
         return oi, oq
 
     def close(self) -> None:
         try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
             self._sock.close()
         except OSError:
             pass
+        if hasattr(self, "_rx"):
+            self._rx.join(timeout=5.0)
 
 
 def read_window(source: Source) -> tuple[np.ndarray, np.ndarray] | None:

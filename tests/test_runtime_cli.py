@@ -183,3 +183,137 @@ def test_daemon_window_isolation():
     assert len(results) == 2
     assert results[1].error is None
     assert [s.call for s in results[1].spots] == ["K1JT"]
+
+
+# ---- rtl_tcp source (rtlsdr_wsprd.c:1044-1124 device setup + :255-259
+# RX thread) -----------------------------------------------------------------
+
+class _LoopbackRtlTcp:
+    """Minimal rtl_tcp server on a loopback socket: serves the RTL0
+    header, records 5-byte command packets, streams a canned uint8 IQ
+    payload, then closes."""
+
+    def __init__(self, payload: bytes):
+        import socket
+        import threading
+
+        self.payload = payload
+        self.commands = []
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self.sent = 0
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        conn.settimeout(10.0)
+        # dongle magic + tuner type/gain count (rtl_tcp protocol)
+        conn.sendall(b"RTL0" + bytes(8))
+        # client sends its whole command burst before streaming starts
+        buf = b""
+        import struct
+
+        while len(buf) < 5 * 4:  # at least rate + gain mode + gain + freq
+            buf += conn.recv(4096)
+        for k in range(len(buf) // 5):
+            cmd, arg = struct.unpack(">BI", buf[5 * k:5 * k + 5])
+            self.commands.append((cmd, arg))
+        # stream the payload in odd-sized chunks (exercises IQ-pair
+        # carry across chunk boundaries), then EOF
+        pos = 0
+        while pos < len(self.payload):
+            n = min(65537, len(self.payload) - pos)
+            conn.sendall(self.payload[pos:pos + n])
+            self.sent += n
+            pos += n
+        conn.shutdown(1)
+        # drain until the client closes so sendall never RSTs
+        try:
+            while conn.recv(4096):
+                pass
+        except OSError:
+            pass
+        conn.close()
+        self._srv.close()
+
+
+def _tone_payload(f_baseband_hz: float, seconds: float,
+                  amp: float = 40.0) -> bytes:
+    """Interleaved uint8 IQ of a pure tone that should land at
+    ``f_baseband_hz`` after the front end (raw freq = f - 600 kHz, the
+    fs/4 offset convention of runtime/synth.py)."""
+    fs = 2_400_000
+    n = int(seconds * fs)
+    t = np.arange(n, dtype=np.float64) / fs
+    ph = 2.0 * np.pi * (f_baseband_hz - 600_000.0) * t
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(np.rint(128 + amp * np.cos(ph)), 0, 255)
+    raw[1::2] = np.clip(np.rint(128 + amp * np.sin(ph)), 0, 255)
+    return raw.tobytes()
+
+
+def test_rtltcp_source_commands_and_stream():
+    """Loopback rtl_tcp: asserts the reference tuning recipe's command
+    bytes (center = dial + 600 kHz + 1500 Hz, rtlsdr_wsprd.c:1112;
+    gain in tenths of dB ×10, :1080) and that the streamed tone decimates
+    to the expected baseband frequency."""
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpSource
+
+    f_b = 62.5  # Hz at baseband; well inside the ±187.5 Hz passband
+    payload = _tone_payload(f_b, seconds=2.0)
+    srv = _LoopbackRtlTcp(payload)
+
+    src = RtlTcpSource("127.0.0.1", srv.port, dialfreq_hz=14_095_600,
+                       gain_tenths_db=290, ppm=0)
+    # the reader thread drains the whole stream even though the consumer
+    # hasn't read yet (the reference's dedicated RX thread,
+    # rtlsdr_wsprd.c:255-259); a server this size would deadlock a
+    # synchronous reader that waits for the first read() call
+    deadline = time.time() + 20.0
+    while srv.sent < len(payload) and time.time() < deadline:
+        time.sleep(0.05)
+    assert srv.sent == len(payload)
+
+    i, q = src.read(700)
+    src.close()
+
+    # command assertions (protocol + reference recipe)
+    cmds = dict(srv.commands)
+    assert cmds[0x02] == 2_400_000                     # sample rate
+    assert cmds[0x03] == 1                             # manual gain mode
+    assert cmds[0x04] == 290                           # 29.0 dB in tenths
+    assert cmds[0x01] == 14_095_600 + 600_000 + 1_500  # center freq
+    assert 0x09 not in cmds and 0x05 not in cmds       # no direct/ppm
+
+    # spectral assertion: tone at f_b in the 375 sps baseband
+    assert i.shape[0] == 700  # 2 s -> 750 frames minus filter transients
+    z = (i + 1j * q) * np.hanning(i.shape[0])
+    spec = np.fft.fftshift(np.abs(np.fft.fft(z)))
+    freqs = np.fft.fftshift(np.fft.fftfreq(i.shape[0], 1.0 / 375.0))
+    assert abs(freqs[int(np.argmax(spec))] - f_b) < 1.0
+    assert src.dropped_bytes == 0
+
+
+def test_rtltcp_source_rejects_bad_header():
+    import socket
+    import threading
+
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpSource
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(b"NOPE" + bytes(8))
+        conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    with pytest.raises(IOError, match="not an rtl_tcp server"):
+        RtlTcpSource("127.0.0.1", port, dialfreq_hz=14_095_600)
