@@ -1,11 +1,19 @@
 """Polyphase decimation: XLA reference path + streaming runtime.
 
-Both stages use the same scheme: with T a multiple of R, the im2col
-matrix for a chunk of output frames is built from tpp = T/R static
-slices of the row-reshaped input (no gather), and the complex filter is
-one real (chunk, 2T) @ (2T, 2) matmul — MXU shape. The Pallas kernel
-(pallas_decimate.py) implements the identical contraction fused with
-the uint8->float conversion for the 2.4 Msps stage.
+Both stages use the same partial-product scheme: with T = tpp * R, the
+input reshapes (free) to rows[(n_frames + tpp - 1), R] and ONE matmul
+``rows @ H`` with H float32[R, 2*tpp] produces every phase's partial
+output; frame m is then the shifted diagonal sum
+
+    y[m] = sum_t P[m + t, 2t (+1)]        (tpp cheap slice-adds).
+
+Unlike an im2col formulation — which materializes each input sample
+tpp times (8x for stage 1, 30x for stage 2) — every input sample is
+read ONCE, so the kernel runs at HBM streaming bandwidth; there is no
+scan, so per-step dispatch overhead vanishes and any leading batch
+dims (channels) ride the same matmul. uint8 inputs convert to centered
+float32 on DEVICE (the reference's XOR 0x80, rtlsdr_wsprd.c:171), so
+raw RTL bytes cross the host->device link at 1 byte/sample.
 
 The reference's equivalent is the per-sample C loop at
 rtlsdr_wsprd.c:184-234 (CIC + FIR); parity is spectral + end-to-end,
@@ -25,113 +33,117 @@ from .filters import (
     R2,
     STAGE1_TAPS,
     STAGE2_TAPS,
-    combined_matrix,
     conv_order,
     stage1_coeffs,
     stage2_coeffs,
 )
 
-_CHUNK = 512  # output frames per scan step
 
+def _pp_split(g: np.ndarray, R: int) -> tuple[np.ndarray, np.ndarray]:
+    """conv-ordered complex coeffs g[T] -> (Htop, Hbot) float32[R, 2*tpp]
+    partial-product matrices: P = rowsI @ Htop + rowsQ @ Hbot, with
+    column 2t the I partial of phase t and 2t+1 the Q partial.
 
-def _stage_matrices():
-    m1 = combined_matrix(conv_order(stage1_coeffs()))           # (1280, 2)
-    m2 = combined_matrix(conv_order(stage2_coeffs().astype(np.complex64)))
-    return m1, m2                                               # numpy!
-
-
-_M1, _M2 = None, None
-
-
-def _mats():
-    """Filter matrices as NUMPY constants (safe to reference from any
-    trace context; jit embeds them as literals)."""
-    global _M1, _M2
-    if _M1 is None:
-        _M1, _M2 = _stage_matrices()
-    return _M1, _M2
-
-
-@partial(jax.jit, static_argnames=("R", "T", "n_frames"))
-def _polyphase_chunked(xI, xQ, M, R: int, T: int, n_frames: int):
-    """xI/xQ: float32[n_frames*R + T - R]; returns planar
-    (float32[n_frames], float32[n_frames]).
-
-    Frame m reads x[mR .. mR+T-1] (correlation order matching
-    filters.conv_order). Planar output: no complex dtype on TPU.
+    Derivation: y[m] = sum_k g[k] x[mR + k]; write k = tR + p, so
+    y[m] = sum_t (rows @ g[tR:(t+1)R])[m + t]. Complex filter on planar
+    I/Q: yI = xI*Re(g) - xQ*Im(g), yQ = xI*Im(g) + xQ*Re(g).
     """
+    T = g.shape[0]
     tpp = T // R
-    n_pad = (-n_frames) % _CHUNK
-    F = n_frames + n_pad
-    # pad input so every chunk's slice exists
-    pad_in = F * R + T - R - xI.shape[0]
-    xI = jnp.pad(xI, (0, pad_in))
-    xQ = jnp.pad(xQ, (0, pad_in))
-    rowsI = xI.reshape(-1, R)
-    rowsQ = xQ.reshape(-1, R)
+    gr = np.real(g).astype(np.float32).reshape(tpp, R)
+    gi = np.imag(g).astype(np.float32).reshape(tpp, R)
+    top = np.zeros((R, 2 * tpp), np.float32)
+    bot = np.zeros((R, 2 * tpp), np.float32)
+    top[:, 0::2] = gr.T
+    top[:, 1::2] = gi.T
+    bot[:, 0::2] = -gi.T
+    bot[:, 1::2] = gr.T
+    return top, bot
 
-    def chunk(carry, r0):
-        del carry
-        # rows r0 .. r0 + _CHUNK + tpp - 2
-        blkI = jax.lax.dynamic_slice_in_dim(rowsI, r0, _CHUNK + tpp - 1)
-        blkQ = jax.lax.dynamic_slice_in_dim(rowsQ, r0, _CHUNK + tpp - 1)
-        XI = jnp.concatenate([blkI[t:t + _CHUNK] for t in range(tpp)], axis=1)
-        XQ = jnp.concatenate([blkQ[t:t + _CHUNK] for t in range(tpp)], axis=1)
-        X = jnp.concatenate([XI, XQ], axis=1)                  # (chunk, 2T)
-        y = jnp.dot(X, M, preferred_element_type=jnp.float32)  # (chunk, 2)
-        return None, y
 
-    starts = jnp.arange(0, F, _CHUNK, dtype=jnp.int32)
-    _, ys = jax.lax.scan(chunk, None, starts)  # (n_chunks, chunk, 2)
-    flat = ys.reshape(-1, 2)[:n_frames]
-    return flat[:, 0], flat[:, 1]
+_PP = None
+
+
+def _pp_mats():
+    """Partial-product filter matrices as NUMPY constants
+    (H1top, H1bot, H2top, H2bot)."""
+    global _PP
+    if _PP is None:
+        g1 = conv_order(stage1_coeffs())
+        g2 = conv_order(stage2_coeffs().astype(np.complex64))
+        _PP = (*_pp_split(g1, R1), *_pp_split(g2, R2))
+    return _PP
+
+
+def _center_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RTL bytes -> centered float32 on device; floats pass
+    through (already centered)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) - 128.0
+    return x.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_frames",))
+def _polyphase_pp(xI, xQ, Htop, Hbot, n_frames: int):
+    """xI/xQ: float32 or uint8[..., n_frames*R + T - R]; returns planar
+    (float32[..., n_frames], float32[..., n_frames]). Leading dims are
+    batch (channels)."""
+    R = Htop.shape[0]
+    tpp = Htop.shape[1] // 2
+    fI = _center_f32(xI)
+    fQ = _center_f32(xQ)
+    lead = fI.shape[:-1]
+    rowsI = fI.reshape(*lead, n_frames + tpp - 1, R)
+    rowsQ = fQ.reshape(*lead, n_frames + tpp - 1, R)
+    P = (jnp.dot(rowsI, Htop, preferred_element_type=jnp.float32)
+         + jnp.dot(rowsQ, Hbot, preferred_element_type=jnp.float32))
+    yI = P[..., 0:n_frames, 0]
+    yQ = P[..., 0:n_frames, 1]
+    for t in range(1, tpp):
+        yI = yI + P[..., t:t + n_frames, 2 * t]
+        yQ = yQ + P[..., t:t + n_frames, 2 * t + 1]
+    return yI, yQ
 
 
 def decimate_stage1_xla(xI: jnp.ndarray, xQ: jnp.ndarray,
                         n_frames: int):
-    """2.4 Msps planar float32 -> 30 ksps planar (I, Q) float32 (fs/4
-    mix folded in). Input length must be n_frames*R1 + STAGE1_TAPS - R1.
+    """2.4 Msps planar float32 (or raw uint8) -> 30 ksps planar (I, Q)
+    float32 (fs/4 mix folded in). Input length must be
+    n_frames*R1 + STAGE1_TAPS - R1; leading batch dims allowed.
     """
-    M1, _ = _mats()
-    return _polyphase_chunked(xI, xQ, M1, R1, STAGE1_TAPS, n_frames)
+    H1t, H1b, _, _ = _pp_mats()
+    return _polyphase_pp(xI, xQ, H1t, H1b, n_frames)
 
 
 def decimate_stage1_batched(xI: jnp.ndarray, xQ: jnp.ndarray,
                             n_frames: int):
-    """Stage-1 polyphase over a CHANNEL batch: (C, L) planar float32 ->
-    (C, n_frames) planar, L = n_frames*R1 + STAGE1_TAPS - R1.
+    """Stage-1 polyphase over a CHANNEL batch: (C, L) planar float32 or
+    uint8 -> (C, n_frames) planar, L = n_frames*R1 + STAGE1_TAPS - R1.
 
-    The single-stream scan is loop-step-overhead bound on the 2.4 Msps
-    stage; batching channels multiplies the work per step instead of
-    the step count (measured: 0.74 Gsps single stream -> 2.25 Gsps at
-    C=256, i.e. ~940 real-time 2.4 Msps channels per chip). This is
-    the production many-dongle/many-band ingest shape; each row is an
-    independent stream (same math as decimate_stage1_xla per row).
+    Same kernel as decimate_stage1_xla (the partial-product matmul is
+    batch-agnostic); the alias exists because the production ingest
+    path is many channels in lockstep and single-stream callers
+    predate the unification.
     """
-    M1, _ = _mats()
-    return jax.vmap(
-        lambda a, b: _polyphase_chunked(a, b, M1, R1, STAGE1_TAPS, n_frames)
-    )(xI, xQ)
+    return decimate_stage1_xla(xI, xQ, n_frames)
 
 
 def decimate_stage2_xla(midI: jnp.ndarray, midQ: jnp.ndarray,
                         n_frames: int):
     """30 ksps planar -> 375 sps planar (I, Q) float32.
 
-    Input length must be n_frames*R2 + STAGE2_TAPS - R2.
+    Input length must be n_frames*R2 + STAGE2_TAPS - R2; leading batch
+    dims allowed.
     """
-    _, M2 = _mats()
-    return _polyphase_chunked(midI, midQ, M2, R2, STAGE2_TAPS, n_frames)
+    _, _, H2t, H2b = _pp_mats()
+    return _polyphase_pp(midI, midQ, H2t, H2b, n_frames)
 
 
 def decimate_stage2_batched(midI: jnp.ndarray, midQ: jnp.ndarray,
                             n_frames: int):
     """Stage-2 polyphase over a channel batch: (C, L2) -> (C, n_frames),
     L2 = n_frames*R2 + STAGE2_TAPS - R2."""
-    _, M2 = _mats()
-    return jax.vmap(
-        lambda a, b: _polyphase_chunked(a, b, M2, R2, STAGE2_TAPS, n_frames)
-    )(midI, midQ)
+    return decimate_stage2_xla(midI, midQ, n_frames)
 
 
 @jax.jit
@@ -274,9 +286,13 @@ class BatchedStreamingDecimator:
     Production many-dongle/many-band ingest: all channels receive the
     same-size chunk each ``push`` (a multi-channel source naturally
     delivers aligned blocks), so one batched device call advances every
-    stream — the batched stage-1 kernel runs ~3x the aggregate Msps of
-    per-channel calls (see decimate_stage1_batched). Per-row math is
-    identical to StreamingDecimator; states are (C, n) planes.
+    stream. Per-row math is identical to StreamingDecimator; states are
+    (C, n) planes.
+
+    uint8 chunks stay uint8 on the host AND across the host->device
+    link (centered on device inside the stage-1 kernel) — a quarter of
+    the ingest transfer bytes, the production raw-RTL path. Mixed-dtype
+    streams upconvert the carry buffer once.
     """
 
     QUANT1 = StreamingDecimator.QUANT1
@@ -286,25 +302,41 @@ class BatchedStreamingDecimator:
         C = n_channels
         prime1 = STAGE1_TAPS // 2
         prime2 = STAGE2_TAPS // 2
-        self._bufI = np.zeros((C, prime1), np.float32)
-        self._bufQ = np.zeros((C, prime1), np.float32)
+        # raw carry starts empty-dtype-agnostic: the first nonempty push
+        # decides uint8 vs float32 (prime pad = 128 <-> 0.0 centered)
+        self._bufI: np.ndarray | None = None
+        self._bufQ: np.ndarray | None = None
+        self._prime1 = prime1
         self._midI = np.zeros((C, prime2), np.float32)
         self._midQ = np.zeros((C, prime2), np.float32)
         self._tail1 = STAGE1_TAPS - R1
         self._tail2 = STAGE2_TAPS - R2
+        self._C = C
+
+    def _prime_raw(self, dtype) -> None:
+        fill = 128 if dtype == np.uint8 else 0
+        self._bufI = np.full((self._C, self._prime1), fill, dtype)
+        self._bufQ = np.full((self._C, self._prime1), fill, dtype)
 
     def push(self, rawI: np.ndarray, rawQ: np.ndarray,
              exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """Feed (C, n) planar chunks (uint8 or float); returns newly
         available (C, m) planar 375 sps samples (m can be 0)."""
-        if rawI.dtype == np.uint8:
-            fI = rawI.astype(np.float32) - 128.0
-            fQ = rawQ.astype(np.float32) - 128.0
-        else:
-            fI = np.asarray(rawI, np.float32)
-            fQ = np.asarray(rawQ, np.float32)
-        self._bufI = np.concatenate([self._bufI, fI], axis=1)
-        self._bufQ = np.concatenate([self._bufQ, fQ], axis=1)
+        in_dtype = (np.uint8 if rawI.dtype == np.uint8 else np.float32)
+        if self._bufI is None:
+            self._prime_raw(in_dtype)
+        if in_dtype != self._bufI.dtype and rawI.size > 0:
+            if self._bufI.dtype == np.uint8:  # upconvert carry once
+                self._bufI = self._bufI.astype(np.float32) - 128.0
+                self._bufQ = self._bufQ.astype(np.float32) - 128.0
+            else:  # float carry continues; center incoming u8 on host
+                rawI = rawI.astype(np.float32) - 128.0
+                rawQ = rawQ.astype(np.float32) - 128.0
+        if rawI.size > 0:
+            self._bufI = np.concatenate(
+                [self._bufI, np.asarray(rawI, self._bufI.dtype)], axis=1)
+            self._bufQ = np.concatenate(
+                [self._bufQ, np.asarray(rawQ, self._bufQ.dtype)], axis=1)
 
         n_mid = (self._bufI.shape[1] - self._tail1) // R1
         if not exact:

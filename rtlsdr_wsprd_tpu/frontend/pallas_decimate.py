@@ -23,8 +23,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .decimate import _mats
-from .filters import R1, STAGE1_TAPS
+from functools import lru_cache
+
+from .filters import R1, STAGE1_TAPS, combined_matrix, conv_order, stage1_coeffs
+
+
+@lru_cache(maxsize=1)
+def _m1():
+    """Stage-1 (2T, 2) combined matmul matrix (numpy). The in-kernel
+    im2col happens in VMEM, so unlike the HBM-level XLA path this
+    contraction shape costs no extra HBM traffic."""
+    return combined_matrix(conv_order(stage1_coeffs()))
 
 F_BLK = 512                      # output frames per grid program
 TPP = STAGE1_TAPS // R1          # taps per phase = 8
@@ -64,7 +73,7 @@ def decimate_stage1_pallas(
     Numerically identical contraction to decimate_stage1_xla (same
     filter matrix, same frame alignment).
     """
-    M1, _ = _mats()                                # (2T, 2) float32
+    M1 = _m1()                                     # (2T, 2) float32
     grid = pl.cdiv(n_frames, F_BLK)
     rows_needed = grid * F_BLK + TPP - 1
     have_rows = xI.shape[0] // R1

@@ -87,7 +87,10 @@ _LOG = logging.getLogger("rtlsdr_wsprd_tpu.multichannel")
 # the golden capture are < 40).
 DEFAULT_MAX_ATTEMPTS = 128
 
-_BIG = jnp.int32(2**30)
+# numpy, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize for
+# any program importing the framework first (parallel/distributed.py)
+_BIG = np.int32(2**30)
 
 
 class ChannelDecode(NamedTuple):

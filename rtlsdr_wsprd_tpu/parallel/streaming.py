@@ -29,7 +29,7 @@ try:  # jax >= 0.4.35
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..frontend.decimate import _mats, _polyphase_chunked
+from ..frontend.decimate import _polyphase_pp, _pp_mats
 from ..frontend.filters import R1, STAGE1_TAPS
 
 
@@ -56,7 +56,7 @@ def decimate_stage1_sharded(
     assert L % (n * R1) == 0, (L, n)
     halo = STAGE1_TAPS - R1
     frames_local = L // (n * R1)
-    M1, _ = _mats()
+    H1t, H1b, _, _ = _pp_mats()
     perm = [(i, (i - 1) % n) for i in range(n)]  # shard i -> i-1 (left)
 
     def local(xi, xq):
@@ -65,7 +65,7 @@ def decimate_stage1_sharded(
         hq = jax.lax.ppermute(xq[:halo], axis, perm)
         fi = jnp.concatenate([xi, hi])
         fq = jnp.concatenate([xq, hq])
-        return _polyphase_chunked(fi, fq, M1, R1, STAGE1_TAPS, frames_local)
+        return _polyphase_pp(fi, fq, H1t, H1b, frames_local)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                    out_specs=(P(axis), P(axis)))

@@ -228,3 +228,55 @@ def test_raw_capture_end_to_end_decode():
     assert (s.call, s.loc, s.pwr) == ("K1JT", "FN20", "20")
     assert abs(s.dt - 0.0) < 0.3  # t0=2.0 is the decoder's zero point
     assert abs((s.freq * 1e6 - 1500.0) - 30.0) < 0.5
+
+
+def test_stage1_uint8_input_matches_host_centered():
+    """Raw uint8 fed straight to the device kernel must equal the
+    host-centered float32 path exactly (the centering is the same
+    subtract-128, just on device — 1 byte/sample across the link)."""
+    import jax.numpy as jnp
+
+    from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_xla
+    from rtlsdr_wsprd_tpu.frontend.filters import R1, STAGE1_TAPS
+
+    n_frames = 400
+    L = n_frames * R1 + STAGE1_TAPS - R1
+    rng = np.random.default_rng(17)
+    u8I = rng.integers(0, 256, (2, L), dtype=np.uint8)
+    u8Q = rng.integers(0, 256, (2, L), dtype=np.uint8)
+    uI, uQ = decimate_stage1_xla(jnp.asarray(u8I), jnp.asarray(u8Q),
+                                 n_frames)
+    fI, fQ = decimate_stage1_xla(
+        jnp.asarray(u8I.astype(np.float32) - 128.0),
+        jnp.asarray(u8Q.astype(np.float32) - 128.0), n_frames)
+    np.testing.assert_array_equal(np.asarray(uI), np.asarray(fI))
+    np.testing.assert_array_equal(np.asarray(uQ), np.asarray(fQ))
+
+
+def test_batched_streaming_uint8_chunks_match_float32():
+    """BatchedStreamingDecimator fed raw uint8 chunks must produce the
+    same baseband as the float32-centered feed (u8 carry buffer + device
+    centering vs host centering)."""
+    from rtlsdr_wsprd_tpu.frontend.decimate import BatchedStreamingDecimator
+
+    C, n_chunks, chunk = 2, 5, 480_000
+    rng = np.random.default_rng(23)
+    rawI = rng.integers(0, 256, (C, n_chunks * chunk), dtype=np.uint8)
+    rawQ = rng.integers(0, 256, (C, n_chunks * chunk), dtype=np.uint8)
+
+    du = BatchedStreamingDecimator(C)
+    df = BatchedStreamingDecimator(C)
+    outs_u, outs_f = [], []
+    for k in range(n_chunks):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        outs_u.append(du.push(rawI[:, sl], rawQ[:, sl]))
+        outs_f.append(df.push(rawI[:, sl].astype(np.float32) - 128.0,
+                              rawQ[:, sl].astype(np.float32) - 128.0))
+    outs_u.append(du.flush())
+    outs_f.append(df.flush())
+    ui = np.concatenate([o[0] for o in outs_u], axis=1)
+    fi = np.concatenate([o[0] for o in outs_f], axis=1)
+    uq = np.concatenate([o[1] for o in outs_u], axis=1)
+    fq = np.concatenate([o[1] for o in outs_f], axis=1)
+    np.testing.assert_array_equal(ui, fi)
+    np.testing.assert_array_equal(uq, fq)
