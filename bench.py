@@ -123,6 +123,59 @@ def main() -> None:
     fe_dt = time.perf_counter() - t0
     fe_msps = C * n_frames * R1 * fe_iters / fe_dt / 1e6
 
+    # end-to-end: sustained raw uint8 ingest -> decimate -> window ->
+    # decode -> spots through the integrated chain (MultiChannelDaemon,
+    # the reference's full live path rtlsdr_wsprd.c:126-328). Raw bytes
+    # cross the host->device link at 2 B/complex sample (uint8 planar,
+    # centered on device), so on RPC-tunneled backends this is
+    # link-bound, not device-bound — host_to_device_mbps is measured
+    # and reported so the two limits are distinguishable.
+    from rtlsdr_wsprd_tpu.config import SIGNAL_SAMPLES
+    from rtlsdr_wsprd_tpu.runtime.multidaemon import MultiChannelDaemon
+
+    class _LoadBank:
+        """Replays one pre-generated aligned raw block (ingest cost is
+        content-independent; synthesis must not pollute the measure)."""
+
+        def __init__(self, C, chunk, total):
+            rng = np.random.default_rng(7)
+            self._ri = rng.integers(0, 256, (C, chunk), dtype=np.uint8)
+            self._rq = rng.integers(0, 256, (C, chunk), dtype=np.uint8)
+            self._left = total
+            self.n_channels = C
+
+        def read(self, n):
+            m = min(n, self._ri.shape[1], self._left)
+            self._left -= m
+            return self._ri[:, :m], self._rq[:, :m]
+
+        def close(self):
+            pass
+
+    E2E_C = 4        # channels; per-channel cost is what matters
+    E2E_WINDOWS = 1  # 120 s of stream per channel
+    raw_per_window = SIGNAL_SAMPLES * 6400
+    chunk = 4_800_000  # 2 s per aligned read
+
+    def e2e_once():
+        bank = _LoadBank(E2E_C, chunk, raw_per_window + 40_000)
+        d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                               device_batch=E2E_C, chunk_s=2.0)
+        t0 = time.perf_counter()
+        d.run(max_windows=E2E_WINDOWS)
+        return time.perf_counter() - t0
+
+    e2e_once()  # warm the decimator + decode programs
+    e2e_dt = e2e_once()
+    e2e_channels = E2E_C * E2E_WINDOWS * 120.0 / e2e_dt
+
+    # host->device link bandwidth (uint8), to attribute the e2e limit
+    blk = np.zeros((64 << 20,), np.uint8)
+    jnp.asarray(blk).max().item()  # warm path
+    t0 = time.perf_counter()
+    jnp.asarray(blk).max().item()
+    link_mbps = blk.nbytes / (time.perf_counter() - t0) / 1e6
+
     # candidate syncs/s (BASELINE.json metric): coarse-grid sync-metric
     # evaluations per second — each window scores the full
     # (512 rows x 32 lags x 9 drifts) grid at least once per pass
@@ -138,6 +191,8 @@ def main() -> None:
         "realtime_channels_per_chip": int(windows_per_s * 120),
         "frontend_msps": round(fe_msps, 1),
         "frontend_realtime_channels": int(fe_msps / 2.4),
+        "e2e_realtime_channels_per_chip": round(e2e_channels, 1),
+        "host_to_device_mbps": round(link_mbps, 1),
         "device": str(jax.devices()[0].platform),
     }))
 

@@ -1,0 +1,188 @@
+"""Integrated many-channel streaming runtime: raw ingest -> spots.
+
+The reference's live path is one continuously running chain — RX
+callback -> decimate -> window -> decode -> report
+(rtlsdr_wsprd.c:126-328) — for ONE channel. This module is its
+many-channel TPU analog, wiring the pieces end to end:
+
+    RawBank (uint8, aligned chunks; runtime/banks.py)
+      -> BatchedStreamingDecimator (one batched device program per
+         front-end step; uint8 crosses the link, centered on device)
+      -> per-channel 120 s window assembly + row-wise -3 dB norm
+         (rtlsdr_wsprd.c:291-305)
+      -> decode_channels_pipelined (2-deep: batch k+1's ingest and
+         host work overlap batch k's device decode — the reference's
+         RX/decode double buffer, rtlsdr_wsprd.c:75-91)
+      -> per-channel spot reporting.
+
+bench.py's ``e2e_realtime_channels_per_chip`` measures exactly this
+chain; tests/test_multidaemon.py runs it on CPU from raw uint8 to
+exact decoded messages.
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import SIGNAL_SAMPLES, DecoderOptions
+from ..frontend.decimate import BatchedStreamingDecimator
+from ..models.decoder import Spot
+from ..parallel.multichannel import decode_channels_pipelined
+from ..utils.hashtable import WsprHashTable
+from .banks import RawBank
+from .reporting import WsprnetReporter, print_spots
+
+
+@dataclass
+class MultiStats:
+    """Observability counters (SURVEY.md section 5 'metrics')."""
+
+    window_batches: int = 0
+    channel_windows: int = 0
+    spots: int = 0
+    errors: int = 0
+    ingest_seconds: float = 0.0
+    started: float = field(default_factory=time.time)
+
+
+def normalize_rows_minus3db(wi: np.ndarray, wq: np.ndarray):
+    """Row-wise peak normalization to +-0.5 (rtlsdr_wsprd.c:291-305,
+    applied per channel)."""
+    mx = np.maximum(np.abs(wi).max(axis=1), np.abs(wq).max(axis=1))
+    scale = (0.5 / np.maximum(mx, 1e-24)).astype(np.float32)
+    return wi * scale[:, None], wq * scale[:, None]
+
+
+class MultiChannelDaemon:
+    """Drives a RawBank through the full batched chain to spots.
+
+    One instance owns the batched decimator state, the per-channel
+    window rings, the shared hashtable, and the decode pipeline. Not
+    wall-clock aligned: windows are consumed back to back as the bank
+    delivers samples (backpressure mode; a live RtlTcpBank's RX threads
+    provide the wall-clock pacing, and window boundaries then land
+    wherever the stream starts — acceptable because WSPR decode is
+    time-searched within the window, scheduler.py handles strict
+    2-minute alignment for the single-channel daemon).
+    """
+
+    def __init__(self, bank: RawBank,
+                 options: DecoderOptions = DecoderOptions(),
+                 reporter: WsprnetReporter | None = None,
+                 hashtable_path: str = "hashtable.txt",
+                 quiet: bool = True, chunk_s: float = 4.0,
+                 depth: int = 2, device_batch: int = 64,
+                 fec: str = "auto"):
+        self.bank = bank
+        self.options = options
+        self.reporter = reporter
+        self.quiet = quiet
+        self.chunk = int(round(chunk_s * 2_400_000))
+        self.depth = depth
+        self.device_batch = device_batch
+        self.fec = fec
+        self.stats = MultiStats()
+        self.hashtable_path = hashtable_path
+        if options.usehashtable:
+            self.hashtable = WsprHashTable.load(hashtable_path)
+        else:
+            self.hashtable = WsprHashTable()
+        self._dec = BatchedStreamingDecimator(bank.n_channels)
+        self._ts: list[float] = []  # completion time per pending batch
+
+    # -- ingest side --------------------------------------------------------
+
+    def window_batches(self, max_windows: int = 0):
+        """Generator of normalized (C, SIGNAL_SAMPLES) window batches.
+
+        Pulls aligned raw chunks from the bank, advances the batched
+        decimator, and yields every time a full 120 s window of
+        baseband accumulates. A final partial window (>= 117 s, the
+        reference's short-window threshold rtlsdr_wsprd.c:277) is
+        zero-padded; shorter remnants are dropped.
+        """
+        C = self.bank.n_channels
+        acc_i = np.zeros((C, 0), np.float32)
+        acc_q = np.zeros((C, 0), np.float32)
+        n = 0
+        eof = False
+        while not eof and (max_windows == 0 or n < max_windows):
+            t0 = time.perf_counter()
+            ri, rq = self.bank.read(self.chunk)
+            if ri.shape[1] < self.chunk:
+                eof = True
+            oi, oq = self._dec.push(ri, rq)
+            if eof:
+                fi, fq = self._dec.flush()
+                oi = np.concatenate([oi, fi], axis=1)
+                oq = np.concatenate([oq, fq], axis=1)
+            self.stats.ingest_seconds += time.perf_counter() - t0
+            if oi.shape[1]:
+                acc_i = np.concatenate([acc_i, oi], axis=1)
+                acc_q = np.concatenate([acc_q, oq], axis=1)
+            while acc_i.shape[1] >= SIGNAL_SAMPLES and (
+                    max_windows == 0 or n < max_windows):
+                wi = acc_i[:, :SIGNAL_SAMPLES]
+                wq = acc_q[:, :SIGNAL_SAMPLES]
+                acc_i = acc_i[:, SIGNAL_SAMPLES:]
+                acc_q = acc_q[:, SIGNAL_SAMPLES:]
+                self._ts.append(time.time())
+                n += 1
+                yield normalize_rows_minus3db(wi, wq)
+        if eof and acc_i.shape[1] >= 117 * 375 and (
+                max_windows == 0 or n < max_windows):
+            pad = SIGNAL_SAMPLES - acc_i.shape[1]
+            wi = np.pad(acc_i, ((0, 0), (0, pad)))
+            wq = np.pad(acc_q, ((0, 0), (0, pad)))
+            self._ts.append(time.time())
+            yield normalize_rows_minus3db(wi, wq)
+
+    # -- the loop -----------------------------------------------------------
+
+    def run(self, max_windows: int = 0) -> list[list[list[Spot]]]:
+        """Ingest + decode until the bank dries up (or ``max_windows``
+        batches). Returns per-window-batch, per-channel spot lists.
+        Per-window isolation: a failed batch logs and never kills the
+        stream (SURVEY.md section 5)."""
+        out: list[list[list[Spot]]] = []
+        gen = self.window_batches(max_windows)
+        try:
+            for per_channel in decode_channels_pipelined(
+                    gen, self.options, self.hashtable, depth=self.depth,
+                    device_batch=self.device_batch, fec=self.fec):
+                ts = self._ts.pop(0)
+                gtm = time.gmtime(ts - 119)  # rtlsdr_wsprd.c:310-313
+                self._report(per_channel, gtm)
+                out.append(per_channel)
+        except Exception:
+            self.stats.errors += 1
+            if not self.quiet:
+                print("Batch decode failed (stream continues): "
+                      + traceback.format_exc())
+        if self.options.usehashtable:
+            self.hashtable.save(self.hashtable_path)
+        return out
+
+    def _report(self, per_channel: list[list[Spot]], gtm) -> None:
+        self.stats.window_batches += 1
+        self.stats.channel_windows += len(per_channel)
+        nsp = sum(len(s) for s in per_channel)
+        self.stats.spots += nsp
+        if not self.quiet:
+            for ch, spots in enumerate(per_channel):
+                if spots:
+                    print(f"-- channel {ch}")
+                    print_spots(spots, gtm)
+            print(f"-- {nsp} spot(s) across {len(per_channel)} channels")
+        if self.reporter is not None:
+            for spots in per_channel:
+                live = [s for s in spots if not s.noprint]
+                if live:
+                    self.reporter.post(live, gtm)
+
+
+__all__ = ["MultiChannelDaemon", "MultiStats", "normalize_rows_minus3db"]

@@ -141,28 +141,27 @@ _CMD_SET_AGC_MODE = 0x08
 _CMD_SET_DIRECT_SAMPLING = 0x09
 
 
-class RtlTcpSource(Source):
-    """Stream from an rtl_tcp server through the TPU front end.
+class RtlTcpConnection:
+    """One rtl_tcp server connection: tuning + a dedicated RX thread.
 
     Tuning mirrors the reference device setup (rtlsdr_wsprd.c:1044-1124):
     fs/4 + 1500 Hz offset so the wanted band lands at -600 kHz, away
     from the DC spike; the stage-1 polyphase mixes it back (see
     frontend/filters.py).
 
-    A dedicated reader thread drains the socket continuously — the
-    reference's RX thread (rtlsdr_wsprd.c:255-259) — so the server's
-    send buffer never backs up while the daemon sleeps to a 2-minute
-    boundary or blocks in a decode. Raw bytes queue in a bounded host
-    ring; if the consumer falls behind ``max_buffer_bytes`` the oldest
-    bytes are dropped in whole IQ pairs (``dropped_bytes`` counts them,
-    the analog of USB overflow on the reference's dongle).
+    The RX thread drains the socket continuously — the reference's RX
+    thread (rtlsdr_wsprd.c:255-259) — so the server's send buffer never
+    backs up while the consumer sleeps to a 2-minute boundary or blocks
+    in a decode. Raw bytes queue in a bounded host ring; if the
+    consumer falls behind ``max_buffer_bytes`` the oldest bytes are
+    dropped in whole IQ pairs (``dropped_bytes`` counts them, the
+    analog of USB overflow on the reference's dongle).
     """
 
     def __init__(self, host: str, port: int, dialfreq_hz: int,
                  shift_hz: int = 0, upconverter_hz: int = 0,
                  gain_tenths_db: int = 290, autogain: bool = False,
                  ppm: int = 0, directsampling: int = 0,
-                 use_pallas: bool = False,
                  max_buffer_bytes: int = 256 << 20):
         self._sock = socket.create_connection((host, port), timeout=10.0)
         hdr = self._recv_exact(12)
@@ -184,10 +183,6 @@ class RtlTcpSource(Source):
             self._cmd(_CMD_SET_GAIN, gain_tenths_db)
         self._cmd(_CMD_SET_FREQ, center)
 
-        self._dec = StreamingDecimator(use_pallas=use_pallas)
-        self._bi = np.zeros(0, np.float32)
-        self._bq = np.zeros(0, np.float32)
-
         # RX thread state: a deque of byte chunks + condition variable
         # (the reference's cond-var handshake, rtlsdr_wsprd.c:55-66)
         self._max_buffer = max_buffer_bytes
@@ -196,6 +191,9 @@ class RtlTcpSource(Source):
         self.dropped_bytes = 0
         self._eof = False
         self._cv = threading.Condition()
+        self._carry = b""  # odd-size chunk remainder, keeps IQ pairing
+        self._pi = np.zeros(0, np.uint8)
+        self._pq = np.zeros(0, np.uint8)
         self._rx = threading.Thread(target=self._rx_loop, daemon=True,
                                     name="rtltcp-rx")
         self._rx.start()
@@ -246,32 +244,34 @@ class RtlTcpSource(Source):
             self._buffered -= len(b)
             return b
 
-    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
-        # native deinterleave+recenter when built
-        from .. import native
-        carry = b""
-        while self._bi.shape[0] < n:
+    def read_pairs(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """Blocking read of up to ``n`` IQ pairs as planar uint8
+        (I[m], Q[m]); m < n only at EOF. Raw RTL bytes stay uint8 so
+        they can cross the host->device link at 1 byte/sample (the
+        stage-1 kernel centers on device, frontend/decimate.py)."""
+        while self._pi.shape[0] < n:
             b = self._take_raw()
             if b is None:
-                oi, oq = self._dec.flush()
-                self._bi = np.concatenate([self._bi, oi])
-                self._bq = np.concatenate([self._bq, oq])
                 break
-            if carry:
-                b = carry + b
-                carry = b""
+            if self._carry:
+                b = self._carry + b
+                self._carry = b""
             if len(b) & 1:  # keep IQ pairing across odd-size chunks
-                carry = b[-1:]
+                self._carry = b[-1:]
                 b = b[:-1]
             raw = np.frombuffer(b, dtype=np.uint8)
-            fi, fq = native.u8_deinterleave_center(raw)
-            oi, oq = self._dec.push(fi, fq)
-            self._bi = np.concatenate([self._bi, oi])
-            self._bq = np.concatenate([self._bq, oq])
-        take = min(n, self._bi.shape[0])
-        oi, self._bi = self._bi[:take], self._bi[take:]
-        oq, self._bq = self._bq[:take], self._bq[take:]
+            self._pi = np.concatenate([self._pi, raw[0::2]])
+            self._pq = np.concatenate([self._pq, raw[1::2]])
+        take = min(n, self._pi.shape[0])
+        oi, self._pi = self._pi[:take], self._pi[take:]
+        oq, self._pq = self._pq[:take], self._pq[take:]
         return oi, oq
+
+    def unread_pairs(self, ui: np.ndarray, uq: np.ndarray) -> None:
+        """Push unconsumed pairs back to the front (bank alignment:
+        when a sibling channel EOFs short, the excess must not drop)."""
+        self._pi = np.concatenate([ui, self._pi])
+        self._pq = np.concatenate([uq, self._pq])
 
     def close(self) -> None:
         try:
@@ -284,6 +284,57 @@ class RtlTcpSource(Source):
             pass
         if hasattr(self, "_rx"):
             self._rx.join(timeout=5.0)
+
+
+class RtlTcpSource(Source):
+    """Single-channel stream from an rtl_tcp server through the TPU
+    front end: an RtlTcpConnection + streaming decimator. Multi-dongle
+    ingest uses runtime.banks.RtlTcpBank (one batched decimator over
+    every connection) instead."""
+
+    def __init__(self, host: str, port: int, dialfreq_hz: int,
+                 shift_hz: int = 0, upconverter_hz: int = 0,
+                 gain_tenths_db: int = 290, autogain: bool = False,
+                 ppm: int = 0, directsampling: int = 0,
+                 use_pallas: bool = False,
+                 max_buffer_bytes: int = 256 << 20):
+        self._conn = RtlTcpConnection(
+            host, port, dialfreq_hz, shift_hz=shift_hz,
+            upconverter_hz=upconverter_hz, gain_tenths_db=gain_tenths_db,
+            autogain=autogain, ppm=ppm, directsampling=directsampling,
+            max_buffer_bytes=max_buffer_bytes)
+        self._dec = StreamingDecimator(use_pallas=use_pallas)
+        self._bi = np.zeros(0, np.float32)
+        self._bq = np.zeros(0, np.float32)
+        self._eof = False
+
+    @property
+    def dropped_bytes(self) -> int:
+        return self._conn.dropped_bytes
+
+    # ~1 s of raw stream per decimator push
+    _CHUNK_PAIRS = 2_400_000
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        while self._bi.shape[0] < n and not self._eof:
+            ui, uq = self._conn.read_pairs(self._CHUNK_PAIRS)
+            if ui.shape[0] < self._CHUNK_PAIRS:
+                self._eof = True
+            if ui.shape[0]:
+                oi, oq = self._dec.push(ui, uq)
+                self._bi = np.concatenate([self._bi, oi])
+                self._bq = np.concatenate([self._bq, oq])
+            if self._eof:
+                oi, oq = self._dec.flush()
+                self._bi = np.concatenate([self._bi, oi])
+                self._bq = np.concatenate([self._bq, oq])
+        take = min(n, self._bi.shape[0])
+        oi, self._bi = self._bi[:take], self._bi[take:]
+        oq, self._bq = self._bq[:take], self._bq[take:]
+        return oi, oq
+
+    def close(self) -> None:
+        self._conn.close()
 
 
 def read_window(source: Source) -> tuple[np.ndarray, np.ndarray] | None:

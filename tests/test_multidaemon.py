@@ -1,0 +1,72 @@
+"""Integrated multi-channel chain: raw 2.4 Msps uint8 -> exact spots.
+
+The reference's live path (rtlsdr_wsprd.c:126-328) as one continuously
+running many-channel system: RawBank -> BatchedStreamingDecimator ->
+window assembly -> decode_channels_pipelined -> per-channel spots.
+"""
+
+import numpy as np
+import pytest
+
+from rtlsdr_wsprd_tpu.config import SIGNAL_SAMPLES, DecoderOptions
+from rtlsdr_wsprd_tpu.runtime.banks import SyntheticRawBank
+from rtlsdr_wsprd_tpu.runtime.multidaemon import (
+    MultiChannelDaemon,
+    normalize_rows_minus3db,
+)
+
+
+def test_normalize_rows_matches_reference_scalar():
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+
+    rng = np.random.default_rng(3)
+    wi = rng.normal(size=(3, 1000)).astype(np.float32)
+    wq = rng.normal(size=(3, 1000)).astype(np.float32)
+    ni, nq = normalize_rows_minus3db(wi, wq)
+    for r in range(3):
+        ri, rq = normalize_minus3db(wi[r], wq[r])
+        np.testing.assert_allclose(ni[r], ri, rtol=1e-6)
+        np.testing.assert_allclose(nq[r], rq, rtol=1e-6)
+
+
+def test_window_batch_assembly_and_padding():
+    """Short-duration bank: one full window per channel, tail dropped;
+    window shapes and -3 dB row normalization hold."""
+    bank = SyntheticRawBank(2, f0s=[30.0, -40.0], duration_s=122.0,
+                            chunk_s=2.0)
+    d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                           chunk_s=4.0)
+    batches = list(d.window_batches())
+    assert len(batches) == 1
+    wi, wq = batches[0]
+    assert wi.shape == wq.shape == (2, SIGNAL_SAMPLES)
+    peaks = np.maximum(np.abs(wi).max(axis=1), np.abs(wq).max(axis=1))
+    np.testing.assert_allclose(peaks, 0.5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_multichannel_raw_to_spots_end_to_end():
+    """Full chain on CPU: two channels of raw uint8 with different
+    messages at different frequencies decode to their exact messages
+    through the pipelined batched path (VERDICT round-1 item 1)."""
+    msgs = ["K1JT FN20QI 20", "W1AW FN31 30"]
+    bank = SyntheticRawBank(2, messages=msgs, f0s=[30.0, -40.0],
+                            amps=25.0, noises=3.0, duration_s=122.0)
+    d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                           device_batch=2)
+    out = d.run()
+    assert d.stats.errors == 0
+    assert len(out) == 1
+    per_channel = out[0]
+    assert len(per_channel) == 2
+    got0 = {(s.call, s.loc, s.pwr) for s in per_channel[0]}
+    got1 = {(s.call, s.loc, s.pwr) for s in per_channel[1]}
+    assert ("K1JT", "FN20", "20") in got0
+    assert ("W1AW", "FN31", "30") in got1
+    # frequency lands where each channel transmitted (+-0.5 Hz)
+    f0 = next(s for s in per_channel[0] if s.call == "K1JT")
+    f1 = next(s for s in per_channel[1] if s.call == "W1AW")
+    assert abs((f0.freq * 1e6 - 1500.0) - 30.0) < 0.5
+    assert abs((f1.freq * 1e6 - 1500.0) - (-40.0)) < 0.5
+    assert d.stats.window_batches == 1
+    assert d.stats.spots >= 2
