@@ -1,13 +1,16 @@
-"""Decode-sensitivity sweep: message parity rate vs SNR.
+"""Decode-sensitivity sweep: message parity rate vs SNR, ours vs the
+compiled reference oracle on IDENTICAL windows.
 
 Synthesizes T trials per SNR point (one K1JT FN20 37 signal + WGN per
-window, random frequency), decodes through the staged batched path on
-the current backend, and prints the decode rate. The WSPR protocol's
-design sensitivity is about -28 dB SNR in 2500 Hz (SURVEY.md section
-6); the reference decoder's practical floor is around -26..-28 dB.
+window, random frequency), decodes every window through (a) the staged
+batched path on the current backend and (b) the reference wsprd
+compiled as a ctypes oracle (tests/oracle) on the same float samples,
+and prints both rates side by side. The WSPR protocol's design
+sensitivity is about -28 dB SNR in 2500 Hz (SURVEY.md section 6).
 
 Usage: python tools/snr_sweep.py [trials_per_point] [transfer_dtype]
-(transfer_dtype: int8 default, int16, float32)
+(transfer_dtype: int8 default, int16, float32; pass --no-oracle to
+skip the reference run)
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
 
 from rtlsdr_wsprd_tpu.config import DecoderOptions  # noqa: E402
 from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels  # noqa: E402
@@ -28,11 +32,28 @@ MSG = "K1JT FN20 37"
 
 
 def main() -> None:
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    tdt = sys.argv[2] if len(sys.argv) > 2 else "int8"
+    args = [a for a in sys.argv[1:] if a != "--no-oracle"]
+    use_oracle = "--no-oracle" not in sys.argv
+    trials = int(args[0]) if len(args) > 0 else 32
+    tdt = args[1] if len(args) > 1 else "int8"
+
+    oracle = None
+    if use_oracle:
+        import tempfile
+
+        import oracle as oracle_mod
+        if oracle_mod.available():
+            oracle = oracle_mod
+            workdir = tempfile.mkdtemp(prefix="snr_oracle_")
+        else:
+            print("(reference oracle unavailable; ours-only sweep)")
+
     options = DecoderOptions()
     rng = np.random.default_rng(2026)
-    print(f"{'SNR dB':>7} {'decoded':>8} {'rate':>6}  (transfer={tdt})")
+    hdr = f"{'SNR dB':>7} {'ours':>9} {'rate':>6}"
+    if oracle:
+        hdr += f" {'ref':>9} {'rate':>6} {'ours-ref':>8}"
+    print(hdr + f"  (transfer={tdt}, trials={trials})")
     for snr in SNRS:
         wi = np.zeros((trials, 45000), np.float32)
         wq = np.zeros((trials, 45000), np.float32)
@@ -43,9 +64,20 @@ def main() -> None:
             wi[t], wq[t] = normalize_minus3db(i, q)
         spots = decode_channels(wi, wq, options, device_batch=32,
                                 transfer_dtype=tdt)
-        ok = sum(1 for ch in spots
-                 for s in ch if s.call == "K1JT" and s.loc == "FN20")
-        print(f"{snr:>7} {ok:>5}/{trials:<3} {ok / trials:>6.2f}")
+        ours = np.array([any(s.call == "K1JT" and s.loc == "FN20"
+                             for s in ch) for ch in spots])
+        row = f"{snr:>7} {int(ours.sum()):>5}/{trials:<3} " \
+              f"{ours.mean():>6.2f}"
+        if oracle:
+            ref = np.zeros(trials, bool)
+            for t in range(trials):
+                rs = oracle.wspr_decode_reference(
+                    wi[t], wq[t], dialfreq=14095600, workdir=workdir)
+                ref[t] = any(s.call == "K1JT" and s.loc == "FN20"
+                             for s in rs)
+            row += f" {int(ref.sum()):>5}/{trials:<3} {ref.mean():>6.2f}" \
+                   f" {int(ours.sum()) - int(ref.sum()):>+8d}"
+        print(row, flush=True)
 
 
 if __name__ == "__main__":
