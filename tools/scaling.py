@@ -1,0 +1,203 @@
+"""Scaling measurements: 1 device / 1 host x N devices / N hosts.
+
+BASELINE.md's target demands scaling measured at 1 chip, 1 host, and
+N>=2 hosts. Real multi-chip hardware is unavailable in this container
+(one tunneled chip), so these runs use virtual CPU devices where every
+"device" shares ONE physical core — wall-clock cannot speed up by
+design. What IS measurable and meaningful here is the OVERHEAD the
+scaling machinery adds on top of perfectly divided work:
+
+* ``mesh`` mode (1 host x N devices): the SPMD decode step
+  (multichannel_decode_device) sharded over 8 virtual devices vs the
+  identical step unsharded on one device, same global batch. The step
+  has zero cross-device collectives by design (channel-parallel), so
+  any delta is pure partitioning overhead; on real chips throughput
+  then scales linearly with device count.
+* ``dist`` mode (N=2 hosts): two jax.distributed processes each
+  decoding half the global batch (parallel/distributed.decode_local_
+  shard — the production multi-host architecture) vs one process
+  decoding all of it. Work division is measured in per-process CPU
+  time (process_time): on one core, two live processes timeshare, so
+  wall-clock is meaningless but CPU-seconds per window is the honest
+  per-host cost; the delta of (2-proc CPU s/window) over (1-proc CPU
+  s/window) is the distributed-runtime overhead.
+
+Usage:
+    python tools/scaling.py mesh
+    python tools/scaling.py dist
+Prints one JSON line per mode. Results recorded in PARITY.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+B_GLOBAL = 8
+DEVICE_BATCH = 2
+DECODE_KW = dict(quickmode=True, lagstep=16, max_attempts=16,
+                 maxcycles=64)  # the dryrun config: compile-cache warm
+
+
+def _force_cpu(ndev: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={ndev}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def _windows(n: int):
+    import numpy as np
+
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    wi = np.zeros((n, 45000), np.float32)
+    wq = np.zeros((n, 45000), np.float32)
+    for k in range(n):
+        i, q = synth_window_at_snr(
+            "K1JT FN20 37", snr_db=0.0, f0=-90.0 + 23.0 * k, seed=50 + k)
+        wi[k], wq[k] = normalize_minus3db(i, q)
+    return wi, wq
+
+
+def mesh_mode() -> None:
+    _force_cpu(8)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtlsdr_wsprd_tpu.parallel.mesh import channel_sharding, local_mesh
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        multichannel_decode_device,
+    )
+
+    wi, wq = _windows(8)
+    md = np.full((8,), 4, np.int32)
+    sharding = channel_sharding(local_mesh(8))
+
+    def timed(args):
+        out = multichannel_decode_device(*args, **DECODE_KW)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = multichannel_decode_device(*args, **DECODE_KW)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 3, out
+
+    plain_args = (jnp.asarray(wi), jnp.asarray(wq), jnp.asarray(md))
+    shard_args = tuple(jax.device_put(a, s) for a, s in zip(
+        plain_args, (sharding, sharding, sharding)))
+    t_plain, _ = timed(plain_args)
+    t_shard, out = timed(shard_args)
+    assert len(out.snr.sharding.device_set) == 8
+    print(json.dumps({
+        "mode": "mesh", "B": 8, "devices": 8,
+        "t_unsharded_s": round(t_plain, 4),
+        "t_sharded_8dev_s": round(t_shard, 4),
+        "spmd_overhead": round(t_shard / t_plain - 1.0, 4),
+    }))
+
+
+def dist_worker(rank: int, nprocs: int, port: int) -> None:
+    _force_cpu(4)
+    import jax
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel import distributed as dist
+
+    if nprocs > 1:
+        dist.initialize(coordinator=f"127.0.0.1:{port}",
+                        num_processes=nprocs, process_id=rank)
+        assert jax.process_count() == nprocs
+    b_local = B_GLOBAL // nprocs
+    wi, wq = _windows(B_GLOBAL)
+    sl = (dist.local_batch_slice(B_GLOBAL) if nprocs > 1
+          else slice(0, B_GLOBAL))
+    opts = DecoderOptions(quickmode=True)
+
+    def run():
+        return dist.decode_local_shard(wi[sl], wq[sl], opts,
+                                       device_batch=DEVICE_BATCH)
+
+    run()  # warm: compile + caches
+    w0, c0 = time.perf_counter(), time.process_time()
+    spots = run()
+    wall, cpu = time.perf_counter() - w0, time.process_time() - c0
+    n_spots = sum(len(ch) for ch in spots)
+    assert n_spots >= b_local  # every window carries a 0 dB signal
+    print(json.dumps({
+        "rank": rank, "nprocs": nprocs, "windows": b_local,
+        "wall_s": round(wall, 3), "cpu_s": round(cpu, 3),
+        "cpu_s_per_window": round(cpu / b_local, 4),
+    }), flush=True)
+
+
+def dist_mode() -> None:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def launch(rank, nprocs, port):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "_worker",
+             str(rank), str(nprocs), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd="/root/repo")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    p1 = launch(0, 1, 0)
+    out1, _ = p1.communicate(timeout=3600)
+    assert p1.returncode == 0, out1[-3000:]
+    base = json.loads(out1.strip().splitlines()[-1])
+
+    procs = [launch(r, 2, port) for r in (0, 1)]
+    rows = []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        assert p.returncode == 0, out[-3000:]
+        rows.append(json.loads(out.strip().splitlines()[-1]))
+
+    per_win_1 = base["cpu_s_per_window"]
+    per_win_2 = max(r["cpu_s_per_window"] for r in rows)
+    print(json.dumps({
+        "mode": "dist", "B_global": B_GLOBAL,
+        "one_proc_cpu_s_per_window": per_win_1,
+        "two_proc_cpu_s_per_window": per_win_2,
+        "dist_overhead": round(per_win_2 / per_win_1 - 1.0, 4),
+        "ranks": rows,
+    }))
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "mesh"
+    if mode == "mesh":
+        mesh_mode()
+    elif mode == "dist":
+        dist_mode()
+    elif mode == "_worker":
+        dist_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()
