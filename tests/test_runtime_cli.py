@@ -297,6 +297,45 @@ def test_rtltcp_source_commands_and_stream():
     assert src.dropped_bytes == 0
 
 
+def test_rtltcp_bank_two_servers_aligned_batched_frontend():
+    """Two loopback rtl_tcp servers -> RtlTcpBank aligned uint8 reads ->
+    BatchedStreamingDecimator: each channel's tone lands at its own
+    baseband frequency (the many-dongle ingest path of
+    runtime/banks.py + runtime/multidaemon.py; reference analog is the
+    single RX thread of rtlsdr_wsprd.c:255-259, one per dongle here)."""
+    from rtlsdr_wsprd_tpu.frontend.decimate import BatchedStreamingDecimator
+    from rtlsdr_wsprd_tpu.runtime.banks import RtlTcpBank
+
+    tones = [62.5, -93.75]
+    servers = [_LoopbackRtlTcp(_tone_payload(f, seconds=2.0))
+               for f in tones]
+    bank = RtlTcpBank([("127.0.0.1", s.port, 14_095_600)
+                       for s in servers])
+    assert bank.n_channels == 2
+
+    dec = BatchedStreamingDecimator(2)
+    outs = []
+    while True:
+        ri, rq = bank.read(1_200_000)  # 0.5 s aligned chunks
+        if ri.shape[1] == 0:
+            break
+        assert ri.dtype == np.uint8 and ri.shape == rq.shape
+        outs.append(dec.push(ri, rq))
+        if ri.shape[1] < 1_200_000:
+            break
+    outs.append(dec.flush())
+    bank.close()
+    bi = np.concatenate([o[0] for o in outs], axis=1)
+    bq = np.concatenate([o[1] for o in outs], axis=1)
+    assert bi.shape[0] == 2 and bi.shape[1] >= 700
+    for ch, f_b in enumerate(tones):
+        z = (bi[ch] + 1j * bq[ch]) * np.hanning(bi.shape[1])
+        spec = np.fft.fftshift(np.abs(np.fft.fft(z)))
+        freqs = np.fft.fftshift(np.fft.fftfreq(bi.shape[1], 1 / 375.0))
+        assert abs(freqs[int(np.argmax(spec))] - f_b) < 1.0
+    assert bank.dropped_bytes == [0, 0]
+
+
 def test_rtltcp_source_rejects_bad_header():
     import socket
     import threading
