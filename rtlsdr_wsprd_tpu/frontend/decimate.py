@@ -280,14 +280,39 @@ class StreamingDecimator:
                          exact=True)
 
 
+@partial(jax.jit, static_argnames=("n_mid",))
+def _fused_frontend_step(rawI, rawQ, m2I, m2Q, n_mid: int):
+    """One fused stage-1 + stage-2 device step for C channels.
+
+    rawI/rawQ: uint8|float32[C, n_mid*R1 + tail1] raw chunk (the 560
+    tail-overlap samples are re-sent — ~0.23 ms of stream); m2I/m2Q:
+    float32[C, m] DEVICE-RESIDENT mid-rate carry. Returns (outI, outQ,
+    new m2I, new m2Q). The 30 ksps intermediate never touches the host
+    — one dispatch and one raw upload per step, the XLA analog of the
+    reference's single-pass CIC+FIR chain (rtlsdr_wsprd.c:184-234).
+    With n_mid a multiple of R2 the carry shape is fixed at tail2 from
+    the second step on, so steady state reuses one executable."""
+    H1t, H1b, H2t, H2b = _pp_mats()
+    tail2 = STAGE2_TAPS - R2
+    mi, mq = _polyphase_pp(rawI, rawQ, H1t, H1b, n_mid)
+    midI = jnp.concatenate([m2I, mi], axis=1)
+    midQ = jnp.concatenate([m2Q, mq], axis=1)
+    n_out = (midI.shape[1] - tail2) // R2
+    need2 = n_out * R2
+    oi, oq = _polyphase_pp(midI[:, :need2 + tail2],
+                           midQ[:, :need2 + tail2], H2t, H2b, n_out)
+    return oi, oq, midI[:, need2:], midQ[:, need2:]
+
+
 class BatchedStreamingDecimator:
     """Stateful streaming front end for C channels in lockstep.
 
     Production many-dongle/many-band ingest: all channels receive the
     same-size chunk each ``push`` (a multi-channel source naturally
-    delivers aligned blocks), so one batched device call advances every
-    stream. Per-row math is identical to StreamingDecimator; states are
-    (C, n) planes.
+    delivers aligned blocks), so ONE fused stage-1+stage-2 device call
+    advances every stream; the mid-rate carry stays device-resident
+    (_fused_frontend_step). Per-row math is identical to
+    StreamingDecimator; states are (C, n) planes.
 
     uint8 chunks stay uint8 on the host AND across the host->device
     link (centered on device inside the stage-1 kernel) — a quarter of
@@ -295,8 +320,10 @@ class BatchedStreamingDecimator:
     streams upconvert the carry buffer once.
     """
 
-    QUANT1 = StreamingDecimator.QUANT1
-    QUANT2 = StreamingDecimator.QUANT2
+    # steady-state work quantum: stage-1 output frames per fused step.
+    # A multiple of R2 (80) keeps the device mid carry at a FIXED
+    # tail2 length, so every steady-state step hits one executable.
+    QUANT1 = 8000
 
     def __init__(self, n_channels: int):
         C = n_channels
@@ -307,8 +334,9 @@ class BatchedStreamingDecimator:
         self._bufI: np.ndarray | None = None
         self._bufQ: np.ndarray | None = None
         self._prime1 = prime1
-        self._midI = np.zeros((C, prime2), np.float32)
-        self._midQ = np.zeros((C, prime2), np.float32)
+        # device-resident mid-rate carry, primed half a stage-2 filter
+        self._m2I = jnp.zeros((C, prime2), jnp.float32)
+        self._m2Q = jnp.zeros((C, prime2), jnp.float32)
         self._tail1 = STAGE1_TAPS - R1
         self._tail2 = STAGE2_TAPS - R2
         self._C = C
@@ -338,33 +366,44 @@ class BatchedStreamingDecimator:
             self._bufQ = np.concatenate(
                 [self._bufQ, np.asarray(rawQ, self._bufQ.dtype)], axis=1)
 
+        C = self._bufI.shape[0]
         n_mid = (self._bufI.shape[1] - self._tail1) // R1
         if not exact:
             n_mid -= n_mid % self.QUANT1
+            if n_mid <= 0:
+                return (np.zeros((C, 0), np.float32),
+                        np.zeros((C, 0), np.float32))
+            need = n_mid * R1 + self._tail1
+            oi, oq, self._m2I, self._m2Q = _fused_frontend_step(
+                jnp.asarray(self._bufI[:, :need]),
+                jnp.asarray(self._bufQ[:, :need]),
+                self._m2I, self._m2Q, n_mid)
+            self._bufI = self._bufI[:, n_mid * R1:]
+            self._bufQ = self._bufQ[:, n_mid * R1:]
+            return np.asarray(oi), np.asarray(oq)
+
+        # exact (flush) path: arbitrary remainder sizes, host-driven
+        midI, midQ = np.asarray(self._m2I), np.asarray(self._m2Q)
         if n_mid > 0:
             need = n_mid * R1 + self._tail1
             mi, mq = decimate_stage1_batched(
                 jnp.asarray(self._bufI[:, :need]),
                 jnp.asarray(self._bufQ[:, :need]), n_mid)
-            consumed = n_mid * R1
-            self._bufI = self._bufI[:, consumed:]
-            self._bufQ = self._bufQ[:, consumed:]
-            self._midI = np.concatenate([self._midI, np.asarray(mi)], axis=1)
-            self._midQ = np.concatenate([self._midQ, np.asarray(mq)], axis=1)
-
-        n_out = (self._midI.shape[1] - self._tail2) // R2
-        if not exact:
-            n_out -= n_out % self.QUANT2
-        C = self._bufI.shape[0]
+            self._bufI = self._bufI[:, n_mid * R1:]
+            self._bufQ = self._bufQ[:, n_mid * R1:]
+            midI = np.concatenate([midI, np.asarray(mi)], axis=1)
+            midQ = np.concatenate([midQ, np.asarray(mq)], axis=1)
+        n_out = (midI.shape[1] - self._tail2) // R2
         if n_out <= 0:
+            self._m2I, self._m2Q = jnp.asarray(midI), jnp.asarray(midQ)
             return (np.zeros((C, 0), np.float32),
                     np.zeros((C, 0), np.float32))
         need2 = n_out * R2 + self._tail2
         oi, oq = decimate_stage2_batched(
-            jnp.asarray(self._midI[:, :need2]),
-            jnp.asarray(self._midQ[:, :need2]), n_out)
-        self._midI = self._midI[:, n_out * R2:]
-        self._midQ = self._midQ[:, n_out * R2:]
+            jnp.asarray(midI[:, :need2]), jnp.asarray(midQ[:, :need2]),
+            n_out)
+        self._m2I = jnp.asarray(midI[:, n_out * R2:])
+        self._m2Q = jnp.asarray(midQ[:, n_out * R2:])
         return np.asarray(oi), np.asarray(oq)
 
     def flush(self) -> tuple[np.ndarray, np.ndarray]:
