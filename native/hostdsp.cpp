@@ -247,6 +247,18 @@ void u8_deinterleave_center(const uint8_t* raw, uint64_t n_pairs,
   }
 }
 
+// raw: n_pairs interleaved (I,Q) uint8 -> planar uint8 (no centering:
+// the production path ships raw bytes to the device at 1 B/sample and
+// the stage-1 kernel centers there, frontend/decimate.py). One pass
+// over the stream instead of numpy's two strided-copy passes.
+void u8_deinterleave_pairs(const uint8_t* raw, uint64_t n_pairs,
+                           uint8_t* out_i, uint8_t* out_q) {
+  for (uint64_t k = 0; k < n_pairs; ++k) {
+    out_i[k] = raw[2 * k];
+    out_q[k] = raw[2 * k + 1];
+  }
+}
+
 // float32 -> int8/int16 sample quantization for the host->device
 // transfer path (parallel/multichannel.py _DeviceWindows): round to
 // nearest (ties to even, matching numpy rint), clamp to +/-lim,

@@ -70,6 +70,11 @@ def _load():
     lib.u8_deinterleave_center.argtypes = [u8p, ctypes.c_uint64, f32p, f32p]
     lib.u8_deinterleave_center.restype = None
 
+    if hasattr(lib, "u8_deinterleave_pairs"):  # absent in stale .so
+        lib.u8_deinterleave_pairs.argtypes = [
+            u8p, ctypes.c_uint64, u8p, u8p]
+        lib.u8_deinterleave_pairs.restype = None
+
     if hasattr(lib, "f32_quantize_i8"):  # absent in stale prebuilt .so
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -180,6 +185,21 @@ def u8_deinterleave_center(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     out_i = np.empty(n, np.float32)
     out_q = np.empty(n, np.float32)
     lib.u8_deinterleave_center(raw, n, out_i, out_q)
+    return out_i, out_q
+
+
+def u8_deinterleave_pairs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved uint8 IQ -> planar uint8 (I, Q), no centering (the
+    device stage-1 kernel centers; runtime/sources.py read_pairs)."""
+    raw = np.ascontiguousarray(raw, np.uint8)
+    n = raw.shape[0] // 2
+    lib = _load()
+    if lib is None or not hasattr(lib, "u8_deinterleave_pairs"):
+        return (np.ascontiguousarray(raw[: 2 * n : 2]),
+                np.ascontiguousarray(raw[1 : 2 * n : 2]))
+    out_i = np.empty(n, np.uint8)
+    out_q = np.empty(n, np.uint8)
+    lib.u8_deinterleave_pairs(raw, n, out_i, out_q)
     return out_i, out_q
 
 

@@ -259,9 +259,12 @@ class RtlTcpConnection:
             if len(b) & 1:  # keep IQ pairing across odd-size chunks
                 self._carry = b[-1:]
                 b = b[:-1]
-            raw = np.frombuffer(b, dtype=np.uint8)
-            self._pi = np.concatenate([self._pi, raw[0::2]])
-            self._pq = np.concatenate([self._pq, raw[1::2]])
+            from .. import native
+
+            pi, pq = native.u8_deinterleave_pairs(
+                np.frombuffer(b, dtype=np.uint8))
+            self._pi = np.concatenate([self._pi, pi])
+            self._pq = np.concatenate([self._pq, pq])
         take = min(n, self._pi.shape[0])
         oi, self._pi = self._pi[:take], self._pi[take:]
         oq, self._pq = self._pq[:take], self._pq[take:]

@@ -83,6 +83,17 @@ def test_u8_deinterleave_center():
     np.testing.assert_array_equal(q, raw[1::2].astype(np.float32) - 128.0)
 
 
+def test_u8_deinterleave_pairs():
+    """Planar-uint8 split (the production raw path: centering happens
+    on device) — native and odd-length (dangling byte dropped)."""
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, 2049, dtype=np.uint8)
+    i, q = native.u8_deinterleave_pairs(raw)
+    assert i.dtype == q.dtype == np.uint8
+    np.testing.assert_array_equal(i, raw[0:2048:2])
+    np.testing.assert_array_equal(q, raw[1:2048:2])
+
+
 def test_quantize_into_matches_numpy():
     """Native f32 quantizer == rint/clip/nan_to_num numpy semantics."""
     import numpy as np
