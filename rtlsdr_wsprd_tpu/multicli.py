@@ -1,0 +1,139 @@
+"""Many-channel daemon CLI: the terminal surface of the integrated
+ingest->spots chain (runtime/multidaemon.MultiChannelDaemon).
+
+The reference daemon serves exactly one dongle per process
+(rtlsdr_wsprd.c:961-1203); this entry point drives a BANK of channels
+— one rtl_tcp server per dongle/band, or synthetic channels for load
+generation — through one batched device pipeline.
+
+    python -m rtlsdr_wsprd_tpu.multicli \
+        --endpoint sdr0:1234:20m --endpoint sdr1:1234:40m \
+        -c A1XYZ -l AB12cd
+
+    python -m rtlsdr_wsprd_tpu.multicli --synth 8 -n 1 -x
+
+Frequency accepts the same band names / unit suffixes as the main CLI
+(-f). Reporting posts each channel's spots with that channel's dial
+frequency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .cli import parse_frequency
+from .config import DecoderOptions
+from .runtime.banks import RtlTcpBank, SyntheticRawBank
+from .runtime.multidaemon import MultiChannelDaemon
+from .runtime.reporting import WsprnetReporter
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rtlsdr_wsprd_tpu.multicli",
+        description="TPU-native many-channel WSPR daemon",
+        add_help=False,
+    )
+    p.add_argument("--endpoint", action="append", default=[],
+                   metavar="HOST:PORT:FREQ|BAND",
+                   help="rtl_tcp server + dial frequency; repeat per "
+                        "channel")
+    p.add_argument("--synth", type=int, default=0, metavar="N",
+                   help="N synthetic channels instead of rtl_tcp "
+                        "(self-test / load generation)")
+    p.add_argument("-c", dest="rcall", default="", metavar="CALLSIGN")
+    p.add_argument("-l", dest="rloc", default="", metavar="LOCATOR")
+    p.add_argument("-g", dest="gain", type=int, default=29,
+                   help="gain [0-49] for every dongle (default 29)")
+    p.add_argument("-a", dest="autogain", action="store_true")
+    p.add_argument("-p", dest="ppm", type=int, default=0)
+    p.add_argument("-n", dest="maxloop", type=int, default=0,
+                   help="stop after N window batches (0 = infinite)")
+    p.add_argument("-H", dest="usehashtable", action="store_true")
+    p.add_argument("-Q", dest="quickmode", action="store_true")
+    p.add_argument("-S", dest="singlepass", action="store_true")
+    p.add_argument("-x", dest="noreport", action="store_true")
+    p.add_argument("--device-batch", type=int, default=64,
+                   help="windows per device decode batch (default 64)")
+    p.add_argument("--help", action="help")
+    p.add_argument("--version", action="version",
+                   version=f"rtlsdr_wsprd_tpu {__version__}")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if bool(args.endpoint) == bool(args.synth):
+        print("Specify either --endpoint (one per channel) or "
+              "--synth N.\n --help for usage...", file=sys.stderr)
+        return 1
+    if not args.noreport and (not args.rcall or not args.rloc):
+        print("Please specify your callsign and locator (or -x).\n"
+              " --help for usage...", file=sys.stderr)
+        return 1
+
+    dialfreqs: list[int] = []
+    if args.synth:
+        bank = SyntheticRawBank(args.synth,
+                                f0s=[(37 * k) % 180 - 90.0
+                                     for k in range(args.synth)],
+                                seeds=list(range(1000, 1000 + args.synth)))
+        dialfreqs = [14_095_600] * args.synth
+    else:
+        endpoints = []
+        for ep in args.endpoint:
+            try:
+                host, port, freq = ep.rsplit(":", 2)
+            except ValueError:
+                print(f"Bad --endpoint {ep!r} (HOST:PORT:FREQ)",
+                      file=sys.stderr)
+                return 1
+            dialfreq, directsampling = parse_frequency(freq)
+            dialfreqs.append(dialfreq)
+            if dialfreq == 0:
+                print(f"Bad frequency in --endpoint {ep!r}",
+                      file=sys.stderr)
+                return 1
+            endpoints.append((host, int(port), dialfreq, dict(
+                gain_tenths_db=max(0, min(49, args.gain)) * 10,
+                autogain=args.autogain, ppm=args.ppm,
+                directsampling=directsampling)))
+        bank = RtlTcpBank(endpoints)
+
+    options = DecoderOptions(
+        freq=dialfreqs[0],
+        rcall=args.rcall[:12].upper(),
+        rloc=args.rloc[:6],
+        quickmode=args.quickmode,
+        usehashtable=args.usehashtable,
+        npasses=1 if args.singlepass else 2,
+        subtraction=not args.singlepass,
+    )
+    reporters = None
+    if not args.noreport:
+        reporters = [WsprnetReporter(options.rcall, options.rloc, df)
+                     for df in dialfreqs]
+
+    daemon = MultiChannelDaemon(
+        bank, options, quiet=False,
+        device_batch=args.device_batch,
+        fec="auto", dialfreqs=dialfreqs, reporters=reporters)
+    try:
+        daemon.run(max_windows=args.maxloop)
+    finally:
+        bank.close()
+        if reporters is not None:
+            for r in reporters:
+                r.flush()
+    s = daemon.stats
+    print(f"Processed {s.window_batches} window batch(es), "
+          f"{s.channel_windows} channel-windows, {s.spots} spot(s), "
+          f"{s.errors} error(s).")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import time
 import traceback
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -76,10 +76,20 @@ class MultiChannelDaemon:
                  hashtable_path: str = "hashtable.txt",
                  quiet: bool = True, chunk_s: float = 4.0,
                  depth: int = 2, device_batch: int = 64,
-                 fec: str = "auto"):
+                 fec: str = "auto",
+                 dialfreqs: list[int] | None = None,
+                 reporters: list[WsprnetReporter | None] | None = None):
+        """``dialfreqs``: per-channel dial frequency in Hz for a
+        multi-band bank — spot frequencies are decoded against
+        ``options.freq`` and re-based per channel before print/post
+        (the reference binds one dial per process; here one per
+        channel). ``reporters``: per-channel reporter list (each with
+        its own dialfreq for heartbeats); overrides ``reporter``."""
         self.bank = bank
         self.options = options
         self.reporter = reporter
+        self.dialfreqs = dialfreqs
+        self.reporters = reporters
         self.quiet = quiet
         self.chunk = int(round(chunk_s * 2_400_000))
         self.depth = depth
@@ -156,8 +166,7 @@ class MultiChannelDaemon:
                     device_batch=self.device_batch, fec=self.fec):
                 ts = self._ts.pop(0)
                 gtm = time.gmtime(ts - 119)  # rtlsdr_wsprd.c:310-313
-                self._report(per_channel, gtm)
-                out.append(per_channel)
+                out.append(self._report(per_channel, gtm))
         except Exception:
             self.stats.errors += 1
             if not self.quiet:
@@ -167,9 +176,22 @@ class MultiChannelDaemon:
             self.hashtable.save(self.hashtable_path)
         return out
 
-    def _report(self, per_channel: list[list[Spot]], gtm) -> None:
+    def _rebase(self, spots: list[Spot], ch: int) -> list[Spot]:
+        """Re-base spot frequencies from options.freq to channel ch's
+        own dial frequency (multi-band banks)."""
+        if self.dialfreqs is None:
+            return spots
+        delta = (self.dialfreqs[ch] - self.options.freq) / 1e6
+        if delta == 0.0:
+            return spots
+        return [replace(s, freq=s.freq + delta) for s in spots]
+
+    def _report(self, per_channel: list[list[Spot]],
+                gtm) -> list[list[Spot]]:
         self.stats.window_batches += 1
         self.stats.channel_windows += len(per_channel)
+        per_channel = [self._rebase(s, ch)
+                       for ch, s in enumerate(per_channel)]
         nsp = sum(len(s) for s in per_channel)
         self.stats.spots += nsp
         if not self.quiet:
@@ -178,11 +200,15 @@ class MultiChannelDaemon:
                     print(f"-- channel {ch}")
                     print_spots(spots, gtm)
             print(f"-- {nsp} spot(s) across {len(per_channel)} channels")
-        if self.reporter is not None:
-            for spots in per_channel:
-                live = [s for s in spots if not s.noprint]
-                if live:
-                    self.reporter.post(live, gtm)
+        for ch, spots in enumerate(per_channel):
+            rep = (self.reporters[ch] if self.reporters is not None
+                   else self.reporter)
+            if rep is None:
+                continue
+            live = [s for s in spots if not s.noprint]
+            if live:
+                rep.post(live, gtm)
+        return per_channel
 
 
 __all__ = ["MultiChannelDaemon", "MultiStats", "normalize_rows_minus3db"]

@@ -44,6 +44,64 @@ def test_window_batch_assembly_and_padding():
     np.testing.assert_allclose(peaks, 0.5, rtol=1e-5)
 
 
+def test_dialfreq_rebase_and_per_channel_reporters():
+    """Multi-band bank: channel spots re-base to their own dial
+    frequency, and each channel posts through its own reporter."""
+    from rtlsdr_wsprd_tpu.models.decoder import Spot
+    from rtlsdr_wsprd_tpu.runtime.reporting import WsprnetReporter
+
+    class _Bank:
+        n_channels = 2
+
+        def read(self, n):
+            return (np.zeros((2, 0), np.uint8),) * 2
+
+        def close(self):
+            pass
+
+    posted = [[], []]
+    reporters = [
+        WsprnetReporter("A1XYZ", "AB12", df,
+                        transport=posted[k].append)
+        for k, df in enumerate((14_095_600, 7_038_600))
+    ]
+    opts = DecoderOptions(freq=14_095_600, rcall="A1XYZ", rloc="AB12")
+    d = MultiChannelDaemon(_Bank(), opts,
+                           dialfreqs=[14_095_600, 7_038_600],
+                           reporters=reporters)
+
+    def spot(f):
+        return Spot(freq=f, sync=0.5, snr=-10.0, dt=0.1, drift=0.0,
+                    jitter=0, message="K1JT FN20 37", call="K1JT",
+                    loc="FN20", pwr="37", cycles=100)
+
+    import time as _time
+    per_channel = d._report([[spot(14.097150)], [spot(14.097130)]],
+                            _time.gmtime(0))
+    assert per_channel[0][0].freq == pytest.approx(14.097150)
+    # channel 1 re-based from the 20m decode dial to its 40m dial
+    assert per_channel[1][0].freq == pytest.approx(
+        14.097130 - (14_095_600 - 7_038_600) / 1e6)
+    assert len(posted[0]) == 1 and len(posted[1]) == 1
+    assert "14.0971" in posted[0][0]
+    assert "7.0401" in posted[1][0]
+
+
+@pytest.mark.slow
+def test_multicli_synth_end_to_end(capsys):
+    """The many-channel CLI surface: --synth bank -> spots -> summary
+    line (the terminal analog of the reference daemon loop for N
+    channels)."""
+    from rtlsdr_wsprd_tpu.multicli import main
+
+    rc = main(["--synth", "2", "-n", "1", "-x", "-Q",
+               "--device-batch", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "K1JT" in out
+    assert "Processed 1 window batch(es)" in out
+
+
 @pytest.mark.slow
 def test_multichannel_raw_to_spots_end_to_end():
     """Full chain on CPU: two channels of raw uint8 with different
