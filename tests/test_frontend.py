@@ -230,6 +230,52 @@ def test_raw_capture_end_to_end_decode():
     assert abs((s.freq * 1e6 - 1500.0) - 30.0) < 0.5
 
 
+def test_partial_product_matches_direct_convolution():
+    """The partial-product matmul formulation == the mathematical
+    definition y[m] = sum_k g[k] x[m*R + k] computed brute-force in
+    float64 numpy, both stages (pins the rows@H + shifted-diagonal-sum
+    algebra of frontend/decimate._polyphase_pp)."""
+    from rtlsdr_wsprd_tpu.frontend.decimate import (
+        decimate_stage1_xla,
+        decimate_stage2_xla,
+    )
+    from rtlsdr_wsprd_tpu.frontend.filters import (
+        R1,
+        R2,
+        STAGE1_TAPS,
+        STAGE2_TAPS,
+        conv_order,
+        stage1_coeffs,
+        stage2_coeffs,
+    )
+
+    rng = np.random.default_rng(99)
+
+    def direct(xI, xQ, g, R, n_frames):
+        x = xI.astype(np.float64) + 1j * xQ.astype(np.float64)
+        y = np.array([np.dot(g, x[m * R:m * R + g.shape[0]])
+                      for m in range(n_frames)])
+        return y.real, y.imag
+
+    for fn, g, R, T, nf in (
+        (decimate_stage1_xla, conv_order(stage1_coeffs()), R1,
+         STAGE1_TAPS, 50),
+        (decimate_stage2_xla,
+         conv_order(stage2_coeffs().astype(np.complex128)), R2,
+         STAGE2_TAPS, 20),
+    ):
+        L = nf * R + T - R
+        xI = rng.normal(0, 30, L).astype(np.float32)
+        xQ = rng.normal(0, 30, L).astype(np.float32)
+        gi, gq = fn(xI, xQ, nf)
+        ei, eq = direct(xI, xQ, g.astype(np.complex128), R, nf)
+        scale = np.abs(ei).max() + np.abs(eq).max()
+        np.testing.assert_allclose(np.asarray(gi), ei,
+                                   atol=1e-5 * scale, rtol=0)
+        np.testing.assert_allclose(np.asarray(gq), eq,
+                                   atol=1e-5 * scale, rtol=0)
+
+
 def test_stage1_uint8_input_matches_host_centered():
     """Raw uint8 fed straight to the device kernel must equal the
     host-centered float32 path exactly (the centering is the same
