@@ -12,6 +12,18 @@ cross-checked in tests.
 The reference's equivalent inner loop is rtlsdr_wsprd.c:184-218 (CIC
 integrator/comb per sample); there is no C to imitate here — the
 polyphase form exists *because* of the MXU.
+
+STATUS — demoted to a flag-gated alternative (default OFF everywhere).
+The production path is decimate._polyphase_pp: its partial-product
+formulation reads every input sample exactly once at the HLO level, so
+XLA's fused emission is already at the streaming-bandwidth limit this
+kernel was written to reach, without the im2col VMEM staging (which
+replays each sample tpp=8x into the matmul operand). Mosaic also does
+not compile through this container's tunneled backend (remote_compile
+HTTP 500 — tests exercise the kernel in interpret mode,
+tests/test_frontend.py::test_pallas_matches_xla); on hosts with a
+local TPU runtime, enable with use_pallas=True and compare with
+tools/roofline.py before shipping it.
 """
 
 from __future__ import annotations
