@@ -120,7 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     daemon = MultiChannelDaemon(
         bank, options, quiet=False,
         device_batch=args.device_batch,
-        fec="auto", dialfreqs=dialfreqs, reporters=reporters)
+        fec="auto", dialfreqs=dialfreqs, reporters=reporters,
+        align=not args.synth)
     try:
         daemon.run(max_windows=args.maxloop)
     finally:

@@ -36,6 +36,11 @@ class RawBank:
     def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
 
+    def discard_buffered(self) -> None:
+        """Drop buffered samples on every channel so the next read
+        starts 'now' (wall-clock window alignment); no-op for replay
+        banks."""
+
     def close(self) -> None:
         pass
 
@@ -118,6 +123,10 @@ class RtlTcpBank(RawBank):
     @property
     def dropped_bytes(self) -> list[int]:
         return [c.dropped_bytes for c in self._conns]
+
+    def discard_buffered(self) -> None:
+        for c in self._conns:
+            c.drop_buffered()
 
     def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
         parts = [c.read_pairs(n) for c in self._conns]

@@ -78,18 +78,24 @@ class MultiChannelDaemon:
                  depth: int = 2, device_batch: int = 64,
                  fec: str = "auto",
                  dialfreqs: list[int] | None = None,
-                 reporters: list[WsprnetReporter | None] | None = None):
+                 reporters: list[WsprnetReporter | None] | None = None,
+                 align: bool = False):
         """``dialfreqs``: per-channel dial frequency in Hz for a
         multi-band bank — spot frequencies are decoded against
         ``options.freq`` and re-based per channel before print/post
         (the reference binds one dial per process; here one per
         channel). ``reporters``: per-channel reporter list (each with
-        its own dialfreq for heartbeats); overrides ``reporter``."""
+        its own dialfreq for heartbeats); overrides ``reporter``.
+        ``align``: sleep to the next even-2-minute wall-clock boundary
+        and drop pre-boundary samples before the first window (live
+        banks; the reference's capture-at-boundary,
+        rtlsdr_wsprd.c:1145-1160)."""
         self.bank = bank
         self.options = options
         self.reporter = reporter
         self.dialfreqs = dialfreqs
         self.reporters = reporters
+        self.align = align
         self.quiet = quiet
         self.chunk = int(round(chunk_s * 2_400_000))
         self.depth = depth
@@ -115,6 +121,9 @@ class MultiChannelDaemon:
         reference's short-window threshold rtlsdr_wsprd.c:277) is
         zero-padded; shorter remnants are dropped.
         """
+        if self.align:
+            time.sleep(120.0 - (time.time() % 120.0))
+            self.bank.discard_buffered()
         C = self.bank.n_channels
         acc_i = np.zeros((C, 0), np.float32)
         acc_q = np.zeros((C, 0), np.float32)

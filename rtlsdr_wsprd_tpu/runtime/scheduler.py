@@ -123,6 +123,15 @@ class WsprDaemon:
                 now = _now()
                 wait = 120.0 - (now % 120.0)
                 _sleep(wait)
+                if first:
+                    # capture starts AT the first boundary: samples the
+                    # RX thread buffered between connect and the
+                    # boundary never enter a window
+                    # (rtlsdr_wsprd.c:1145-1160). Later windows read
+                    # back-to-back from the ring, so they stay
+                    # boundary-anchored while decode overlaps capture
+                    # (the reference's double buffer).
+                    self.source.discard_buffered()
             wi, wq = self.source.read(SIGNAL_SAMPLES)
             if wi.shape[0] == 0:
                 break

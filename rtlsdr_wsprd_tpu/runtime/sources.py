@@ -47,6 +47,14 @@ class Source:
     def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
         raise NotImplementedError
 
+    def discard_buffered(self) -> None:
+        """Drop samples buffered while the consumer slept so the next
+        ``read`` starts 'now'. Live sources override this: the
+        reference starts capture AT the 2-minute boundary
+        (rtlsdr_wsprd.c:1145-1160 — samples before the boundary never
+        enter the window); replay sources deliver their stream
+        wherever it stands."""
+
     def close(self) -> None:
         pass
 
@@ -276,6 +284,18 @@ class RtlTcpConnection:
         self._pi = np.concatenate([ui, self._pi])
         self._pq = np.concatenate([uq, self._pq])
 
+    def drop_buffered(self) -> None:
+        """Discard everything buffered so far (ring + deinterleaved
+        pairs); the next read starts from bytes arriving 'now'. Used
+        for wall-clock window alignment (the reference's capture
+        starts AT the boundary, rtlsdr_wsprd.c:1145-1160)."""
+        with self._cv:
+            self._chunks.clear()
+            self._buffered = 0
+        self._carry = b""
+        self._pi = np.zeros(0, np.uint8)
+        self._pq = np.zeros(0, np.uint8)
+
     def close(self) -> None:
         try:
             self._sock.shutdown(socket.SHUT_RDWR)
@@ -314,6 +334,15 @@ class RtlTcpSource(Source):
     @property
     def dropped_bytes(self) -> int:
         return self._conn.dropped_bytes
+
+    def discard_buffered(self) -> None:
+        """Start the next window from samples arriving 'now': drop the
+        connection's ring and reset the decimator chain (carried
+        filter state belongs to the discarded stream)."""
+        self._conn.drop_buffered()
+        self._dec = StreamingDecimator(use_pallas=self._dec.use_pallas)
+        self._bi = np.zeros(0, np.float32)
+        self._bq = np.zeros(0, np.float32)
 
     # ~1 s of raw stream per decimator push
     _CHUNK_PAIRS = 2_400_000

@@ -297,6 +297,59 @@ def test_rtltcp_source_commands_and_stream():
     assert src.dropped_bytes == 0
 
 
+def test_daemon_align_discards_preboundary_once():
+    """align=True: the daemon sleeps to the 2-minute boundary and
+    discards ONLY the pre-boundary backlog of the FIRST window
+    (rtlsdr_wsprd.c:1145-1160 capture-at-boundary); later windows read
+    back-to-back so decode overlaps capture with no dropped stream."""
+    from rtlsdr_wsprd_tpu.config import SIGNAL_SAMPLES
+
+    class _Src:
+        def __init__(self):
+            self.discards = 0
+            self.windows = 0
+
+        def read(self, n):
+            if self.windows >= 2:
+                return np.zeros(0, np.float32), np.zeros(0, np.float32)
+            self.windows += 1
+            z = np.zeros(SIGNAL_SAMPLES, np.float32)
+            return z, z
+
+        def discard_buffered(self):
+            self.discards += 1
+
+        def close(self):
+            pass
+
+    sleeps = []
+    src = _Src()
+    daemon = WsprDaemon(src, DecoderOptions(), quiet=True)
+    daemon.run(maxloop=2, align=True,
+               _sleep=sleeps.append, _now=lambda: 1000.0)
+    assert src.discards == 1          # first boundary only
+    assert len(sleeps) == 2
+    assert sleeps[0] == pytest.approx(120.0 - 1000.0 % 120.0)
+
+
+def test_rtltcp_connection_drop_buffered():
+    """drop_buffered empties the ring + pair buffers; the next read
+    sees only post-drop bytes (here: EOF)."""
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpConnection
+
+    payload = _tone_payload(50.0, seconds=0.25)
+    srv = _LoopbackRtlTcp(payload)
+    conn = RtlTcpConnection("127.0.0.1", srv.port,
+                            dialfreq_hz=14_095_600)
+    deadline = time.time() + 20.0
+    while not conn._eof and time.time() < deadline:
+        time.sleep(0.05)  # RX thread fully drained the stream
+    conn.drop_buffered()
+    i, q = conn.read_pairs(1000)  # EOF after the drop
+    conn.close()
+    assert i.shape[0] == 0 and q.shape[0] == 0
+
+
 def test_rtltcp_bank_two_servers_aligned_batched_frontend():
     """Two loopback rtl_tcp servers -> RtlTcpBank aligned uint8 reads ->
     BatchedStreamingDecimator: each channel's tone lands at its own
