@@ -1,4 +1,9 @@
-"""Host runtime: IQ file IO, synthetic sources, scheduler, daemon."""
+"""Host runtime: IQ file IO, synthetic sources, scheduler, daemons.
+
+Single-channel live daemon: ``scheduler.WsprDaemon`` (+ ``sources``);
+many-channel integrated runtime: ``multidaemon.MultiChannelDaemon``
+over a ``banks.RawBank`` (imported lazily to keep ``import
+rtlsdr_wsprd_tpu.runtime`` backend-clean and cheap)."""
 
 from .iqio import (  # noqa: F401
     normalize_minus3db,

@@ -22,6 +22,8 @@ exact decoded messages.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 import traceback
 from dataclasses import dataclass, field, replace
@@ -162,13 +164,44 @@ class MultiChannelDaemon:
 
     # -- the loop -----------------------------------------------------------
 
-    def run(self, max_windows: int = 0) -> list[list[list[Spot]]]:
+    def _threaded_batches(self, max_windows: int):
+        """Run window_batches on a dedicated ingest thread (the
+        reference's RX thread, rtlsdr_wsprd.c:255-259): bank reads,
+        the fused decimate dispatch, and window assembly overlap the
+        decode side's host work. A bounded queue (depth batches)
+        provides the double-buffer backpressure."""
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.depth))
+        _END = object()
+
+        def produce():
+            try:
+                for batch in self.window_batches(max_windows):
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as exc:  # forwarded to the consumer
+                q.put(exc)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="wspr-ingest")
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def run(self, max_windows: int = 0,
+            ingest_thread: bool = True) -> list[list[list[Spot]]]:
         """Ingest + decode until the bank dries up (or ``max_windows``
         batches). Returns per-window-batch, per-channel spot lists.
         Per-window isolation: a failed batch logs and never kills the
-        stream (SURVEY.md section 5)."""
+        stream (SURVEY.md section 5). ``ingest_thread=False`` runs
+        ingest inline (deterministic single-thread mode)."""
         out: list[list[list[Spot]]] = []
-        gen = self.window_batches(max_windows)
+        gen = (self._threaded_batches(max_windows) if ingest_thread
+               else self.window_batches(max_windows))
         try:
             for per_channel in decode_channels_pipelined(
                     gen, self.options, self.hashtable, depth=self.depth,
