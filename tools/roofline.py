@@ -112,7 +112,8 @@ def main() -> None:
         return mc._stage_b_packed(
             a, b, w, f, s, d, v, lagstep=8, iifac=options.iifac,
             quickmode=False, symfac=options.symfac,
-            minsync2=options.minsync2, minrms=options.minrms)
+            minsync1=options.minsync1, minsync2=options.minsync2,
+            minrms=options.minrms)
 
     args_b = (si, sq, lane_w, freq, shift, drift, lane_valid)
     dt_b, _ = timed(stage_b, args_b)
