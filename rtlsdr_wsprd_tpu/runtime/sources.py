@@ -221,12 +221,26 @@ class RtlTcpConnection:
 
     def _rx_loop(self) -> None:
         """Drain the socket into the ring until EOF/close. 256 KiB reads,
-        like the reference's USB buffers (rtlsdr_wsprd.c:42)."""
+        like the reference's USB buffers (rtlsdr_wsprd.c:42).
+
+        Chunks are normalized to EVEN length before entering the ring
+        (odd tail byte carried to the next recv), so the overflow path
+        can drop whole chunks without desynchronizing I/Q pairing —
+        dropping an odd byte count would swap I and Q for the entire
+        rest of the stream."""
+        tail = b""
         while True:
             try:
                 b = self._sock.recv(262144)
             except OSError:
                 b = b""
+            eof = not b
+            if tail:
+                b = tail + b
+                tail = b""
+            if len(b) & 1:
+                tail = b[-1:]
+                b = b[:-1]
             with self._cv:
                 if b:
                     self._chunks.append(b)
@@ -235,10 +249,10 @@ class RtlTcpConnection:
                         old = self._chunks.popleft()
                         self._buffered -= len(old)
                         self.dropped_bytes += len(old)
-                else:
+                if eof:
                     self._eof = True
                 self._cv.notify_all()
-            if not b:
+            if eof:
                 return
 
     def _take_raw(self) -> bytes | None:

@@ -332,6 +332,42 @@ def test_daemon_align_discards_preboundary_once():
     assert sleeps[0] == pytest.approx(120.0 - 1000.0 % 120.0)
 
 
+def test_rtltcp_overflow_drop_preserves_iq_pairing():
+    """Ring overflow drops must never desynchronize I/Q pairing: the
+    server streams a tone in ODD-size chunks with a tiny ring, the
+    consumer reads only after the whole stream arrived (forcing
+    drops), and the surviving samples must still put the tone at +f_b
+    (a one-byte phase slip would mirror it to -f_b)."""
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpConnection
+
+    f_b = 62.5
+    payload = _tone_payload(f_b, seconds=2.0)
+    srv = _LoopbackRtlTcp(payload)
+    conn = RtlTcpConnection("127.0.0.1", srv.port,
+                            dialfreq_hz=14_095_600,
+                            max_buffer_bytes=1 << 20)  # 1 MiB of 9.6 MB
+    deadline = time.time() + 20.0
+    while not conn._eof and time.time() < deadline:
+        time.sleep(0.05)
+    assert conn.dropped_bytes > 0
+    assert conn.dropped_bytes % 2 == 0  # whole IQ pairs only
+    i, q = conn.read_pairs(1 << 19)
+    conn.close()
+    assert i.shape[0] >= 200_000
+    # mix the RAW tone to baseband at 2.4 Msps and check its sign:
+    # raw freq = f_b - 600 kHz (the fs/4 convention of _tone_payload)
+    fi = i.astype(np.float32) - 128.0
+    fq = q.astype(np.float32) - 128.0
+    n = fi.shape[0]
+    t = np.arange(n) / 2_400_000.0
+    z = (fi + 1j * fq) * np.exp(-2j * np.pi * (f_b - 600_000.0) * t)
+    # pairing intact => strong DC after the mix-down; a swapped stream
+    # lands at 2(600k - f_b) instead
+    dc = np.abs(z.mean())
+    alt = np.abs((z * np.exp(-2j * np.pi * 2 * (600_000.0 - f_b) * t)).mean())
+    assert dc > 10 * alt
+
+
 def test_rtltcp_connection_drop_buffered():
     """drop_buffered empties the ring + pair buffers; the next read
     sees only post-drop bytes (here: EOF)."""
