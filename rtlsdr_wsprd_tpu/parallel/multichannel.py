@@ -1128,6 +1128,7 @@ def decode_channels_pipelined(
     transfer_dtype: str = "int8",
     device=None,
     fec: str = "auto",
+    on_error=None,
 ):
     """Stream-decode an iterable of (i_windows, q_windows) batches with
     a ``depth``-deep pipeline; yields each batch's spot lists in order.
@@ -1137,6 +1138,13 @@ def decode_channels_pipelined(
     batch k's device stages, so steady-state throughput approaches the
     device-bound limit — the TPU analog of the reference's RX/decode
     double buffer (rtlsdr_wsprd.c:75-91). bench.py measures this path.
+
+    ``on_error``: optional callable. When given, a batch whose decode
+    fails even after the internal crash-retry envelope is reported to
+    it (as ``on_error(exc)``) and yielded as empty per-channel spot
+    lists instead of raising — so one poisoned batch never ends a
+    long-running stream (the reference's per-window isolation,
+    SURVEY.md section 5). Without it, the exception propagates.
 
     Hashtable visibility: the shared table is safe under concurrency
     (dict ops are GIL-atomic) but a batch may not see callsign hashes
@@ -1149,18 +1157,29 @@ def decode_channels_pipelined(
     from concurrent.futures import ThreadPoolExecutor
 
     ht = hashtable if hashtable is not None else WsprHashTable()
+
+    def _result(fut, n_channels):
+        if on_error is None:
+            return fut.result()
+        try:
+            return fut.result()
+        except Exception as exc:  # after decode_channels' crash retries
+            on_error(exc)
+            return [[] for _ in range(n_channels)]
+
     with ThreadPoolExecutor(depth) as ex:
         futs = []
         for wi, wq in batches:
+            n_ch = wi.shape[0]
             w = prepare_windows(wi, wq, device_batch=device_batch,
                                 transfer_dtype=transfer_dtype,
                                 device=device)
-            futs.append(ex.submit(decode_channels, None, None, options,
-                                  ht, windows=w, fec=fec))
+            futs.append((ex.submit(decode_channels, None, None, options,
+                                   ht, windows=w, fec=fec), n_ch))
             while len(futs) >= depth:
-                yield futs.pop(0).result()
-        for f in futs:
-            yield f.result()
+                yield _result(*futs.pop(0))
+        for f, n_ch in futs:
+            yield _result(f, n_ch)
 
 
 def decode_channels_multidevice(

@@ -196,23 +196,34 @@ class MultiChannelDaemon:
             ingest_thread: bool = True) -> list[list[list[Spot]]]:
         """Ingest + decode until the bank dries up (or ``max_windows``
         batches). Returns per-window-batch, per-channel spot lists.
-        Per-window isolation: a failed batch logs and never kills the
-        stream (SURVEY.md section 5). ``ingest_thread=False`` runs
-        ingest inline (deterministic single-thread mode)."""
+        Per-window isolation: a batch whose decode fails (even after
+        the device crash-retry envelope) yields no spots but never ends
+        the stream (SURVEY.md section 5). An INGEST failure — the bank
+        itself died — does end the run, gracefully (stats + hashtable
+        are preserved). ``ingest_thread=False`` runs ingest inline
+        (deterministic single-thread mode)."""
         out: list[list[list[Spot]]] = []
         gen = (self._threaded_batches(max_windows) if ingest_thread
                else self.window_batches(max_windows))
+
+        def on_batch_error(exc):
+            self.stats.errors += 1
+            if not self.quiet:
+                print("Batch decode failed (stream continues): "
+                      f"{exc!r}")
+
         try:
             for per_channel in decode_channels_pipelined(
                     gen, self.options, self.hashtable, depth=self.depth,
-                    device_batch=self.device_batch, fec=self.fec):
+                    device_batch=self.device_batch, fec=self.fec,
+                    on_error=on_batch_error):
                 ts = self._ts.pop(0)
                 gtm = time.gmtime(ts - 119)  # rtlsdr_wsprd.c:310-313
                 out.append(self._report(per_channel, gtm))
         except Exception:
             self.stats.errors += 1
             if not self.quiet:
-                print("Batch decode failed (stream continues): "
+                print("Ingest failed (stream ends): "
                       + traceback.format_exc())
         if self.options.usehashtable:
             self.hashtable.save(self.hashtable_path)

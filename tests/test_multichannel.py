@@ -204,3 +204,38 @@ def test_graft_entry_contract():
     assert args[0].shape == (2, 45000) and args[0].dtype == np.float32
 
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_pipelined_on_error_isolates_poisoned_batch(monkeypatch):
+    """A batch whose decode fails even after the crash-retry envelope
+    yields empty spot lists and the stream continues (per-window
+    isolation, SURVEY.md section 5); without on_error it raises."""
+    import rtlsdr_wsprd_tpu.parallel.multichannel as mc
+
+    real = mc.decode_channels
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("poisoned batch")
+        return real(*args, **kwargs)
+
+    rng = np.random.default_rng(5)
+    batch = (rng.normal(0, 0.1, (2, 45000)).astype(np.float32),
+             rng.normal(0, 0.1, (2, 45000)).astype(np.float32))
+
+    monkeypatch.setattr(mc, "decode_channels", flaky)
+    errors = []
+    out = list(mc.decode_channels_pipelined(
+        [batch, batch], DecoderOptions(quickmode=True), device_batch=2,
+        on_error=errors.append))
+    assert len(out) == 2
+    assert out[0] == [[], []]          # poisoned batch: no spots
+    assert isinstance(out[1], list) and len(out[1]) == 2  # decoded
+    assert len(errors) == 1 and "poisoned" in str(errors[0])
+
+    calls["n"] = 0
+    with pytest.raises(RuntimeError):  # default: propagate
+        list(mc.decode_channels_pipelined(
+            [batch], DecoderOptions(quickmode=True), device_batch=2))
