@@ -157,10 +157,13 @@ def main() -> None:
     raw_per_window = SIGNAL_SAMPLES * 6400
     chunk = 4_800_000  # 2 s per aligned read
 
+    e2e_frontend = {}
+
     def e2e_once():
         bank = _LoadBank(E2E_C, chunk, raw_per_window + 40_000)
         d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
                                device_batch=E2E_C, chunk_s=2.0)
+        e2e_frontend["placement"] = d.frontend_placement
         t0 = time.perf_counter()
         d.run(max_windows=E2E_WINDOWS)
         return time.perf_counter() - t0
@@ -168,6 +171,26 @@ def main() -> None:
     e2e_once()  # warm the decimator + decode programs
     e2e_dt = e2e_once()
     e2e_channels = E2E_C * E2E_WINDOWS * 120.0 / e2e_dt
+
+    # host-placed front end (native C++ polyphase; what "auto" selects
+    # on RPC-tunneled backends where raw bytes can't afford the link)
+    host_fe_msps = 0.0
+    from rtlsdr_wsprd_tpu import native as _native
+
+    if _native.HAS_DECIMATE:
+        from rtlsdr_wsprd_tpu.frontend.host_decimate import (
+            HostBatchedStreamingDecimator,
+        )
+
+        hdec = HostBatchedStreamingDecimator(1, threads=1)
+        rng = np.random.default_rng(13)
+        hci = rng.integers(0, 256, (1, 2_400_000), dtype=np.uint8)
+        hcq = rng.integers(0, 256, (1, 2_400_000), dtype=np.uint8)
+        hdec.push(hci, hcq)  # warm + prime
+        t0 = time.perf_counter()
+        for _ in range(4):
+            hdec.push(hci, hcq)
+        host_fe_msps = 4 * 2.4 / (time.perf_counter() - t0)
 
     # host->device link bandwidth (uint8), to attribute the e2e limit
     blk = np.zeros((64 << 20,), np.uint8)
@@ -192,6 +215,8 @@ def main() -> None:
         "frontend_msps": round(fe_msps, 1),
         "frontend_realtime_channels": int(fe_msps / 2.4),
         "e2e_realtime_channels_per_chip": round(e2e_channels, 1),
+        "e2e_frontend": e2e_frontend.get("placement", "device"),
+        "host_frontend_msps_per_core": round(host_fe_msps, 1),
         "host_to_device_mbps": round(link_mbps, 1),
         "device": str(jax.devices()[0].platform),
     }))

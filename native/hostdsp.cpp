@@ -44,6 +44,42 @@ inline int encode_sym(uint32_t state) {
   return (parity32(state & kPoly1) << 1) | parity32(state & kPoly2);
 }
 
+// Polyphase dot products (wspr_pp_decimate_* below) use kW independent
+// accumulator banks — an explicit, deterministic reassociation — so
+// the compiler can keep each bank in a SIMD lane under strict FP
+// semantics. No -ffast-math, which must stay off file-wide (the
+// quantizers rely on NaN compares).
+constexpr int kW = 16;  // accumulator lanes; taps (640/2400) % kW == 0
+
+template <typename In>
+inline void pp_dot(const In* bi, const In* bq, const float* gr,
+                   const float* gi, int64_t taps, float center,
+                   float* outI, float* outQ) {
+  float aI[kW] = {0}, aQ[kW] = {0};
+  int64_t k = 0;
+  for (; k + kW <= taps; k += kW) {
+    for (int j = 0; j < kW; ++j) {
+      const float vi = static_cast<float>(bi[k + j]) - center;
+      const float vq = static_cast<float>(bq[k + j]) - center;
+      aI[j] += vi * gr[k + j] - vq * gi[k + j];
+      aQ[j] += vi * gi[k + j] + vq * gr[k + j];
+    }
+  }
+  float ai = 0.0f, aq = 0.0f;
+  for (; k < taps; ++k) {
+    const float vi = static_cast<float>(bi[k]) - center;
+    const float vq = static_cast<float>(bq[k]) - center;
+    ai += vi * gr[k] - vq * gi[k];
+    aq += vi * gi[k] + vq * gr[k];
+  }
+  for (int j = 0; j < kW; ++j) {
+    ai += aI[j];
+    aq += aQ[j];
+  }
+  *outI = ai;
+  *outQ = aq;
+}
+
 }  // namespace
 
 extern "C" {
@@ -256,6 +292,84 @@ void u8_deinterleave_pairs(const uint8_t* raw, uint64_t n_pairs,
   for (uint64_t k = 0; k < n_pairs; ++k) {
     out_i[k] = raw[2 * k];
     out_q[k] = raw[2 * k + 1];
+  }
+}
+
+// ---- host-placed polyphase front end ---------------------------------------
+//
+// The front end runs wherever the raw byte stream is cheapest to
+// deliver (frontend/host_decimate.py): on-device on PCIe-attached
+// chips (raw uint8 at 1 B/sample, the MXU does the math), on-host over
+// RPC-tunneled / link-constrained deployments — then only 375 sps
+// float32 baseband crosses the link (~3 KB/s/channel, 1600x fewer
+// bytes than raw). Same math as the device kernel (_polyphase_pp,
+// frontend/decimate.py) and the reference's CIC+FIR chain
+// (rtlsdr_wsprd.c:184-234): one output per R inputs,
+//
+//   yI[m] = sum_k xI[mR+k]*gr[k] - xQ[mR+k]*gi[k]
+//   yQ[m] = sum_k xI[mR+k]*gi[k] + xQ[mR+k]*gr[k]
+//
+// with conv-ordered taps (frontend/filters.py conv_order). Inputs are
+// length n_frames*R + taps - R.
+
+void wspr_pp_decimate_f32(const float* xI, const float* xQ,
+                          const float* gr, const float* gi,
+                          int64_t taps, int64_t R, int64_t n_frames,
+                          float* yI, float* yQ) {
+  for (int64_t m = 0; m < n_frames; ++m) {
+    pp_dot(xI + m * R, xQ + m * R, gr, gi, taps, 0.0f, yI + m, yQ + m);
+  }
+}
+
+// uint8 variant (stage 1 from raw RTL bytes): centers by -128 (the
+// reference's XOR 0x80, rtlsdr_wsprd.c:171). Each input sample feeds
+// taps/R (= 8) overlapping frames, so converting the whole block ONCE
+// up front — a vectorized cvt+sub pass — beats converting inside the
+// dot product 8x over (measured ~2.3x end to end).
+void wspr_pp_decimate_u8(const uint8_t* xI, const uint8_t* xQ,
+                         const float* gr, const float* gi,
+                         int64_t taps, int64_t R, int64_t n_frames,
+                         float* yI, float* yQ) {
+  const int64_t L = n_frames * R + taps - R;
+  float* fI = new float[2 * L];
+  float* fQ = fI + L;
+  for (int64_t k = 0; k < L; ++k) {
+    fI[k] = static_cast<float>(xI[k]) - 128.0f;
+    fQ[k] = static_cast<float>(xQ[k]) - 128.0f;
+  }
+  for (int64_t m = 0; m < n_frames; ++m) {
+    pp_dot(fI + m * R, fQ + m * R, gr, gi, taps, 0.0f, yI + m, yQ + m);
+  }
+  delete[] fI;
+}
+
+// real-tap variant (stage 2: stage2_coeffs is real): both planes
+// filtered by the same taps.
+void wspr_fir_decimate_f32(const float* xI, const float* xQ,
+                           const float* g, int64_t taps, int64_t R,
+                           int64_t n_frames, float* yI, float* yQ) {
+  for (int64_t m = 0; m < n_frames; ++m) {
+    const float* bi = xI + m * R;
+    const float* bq = xQ + m * R;
+    float aI[kW] = {0}, aQ[kW] = {0};
+    int64_t k = 0;
+    for (; k + kW <= taps; k += kW) {
+      for (int j = 0; j < kW; ++j) {
+        aI[j] += bi[k + j] * g[k + j];
+        aQ[j] += bq[k + j] * g[k + j];
+      }
+    }
+    float ai = 0.0f, aq = 0.0f;
+    for (; k < taps; ++k) {
+      ai += bi[k] * g[k];
+      aq += bq[k] * g[k];
+    }
+    for (int j = 0; j < kW; ++j) {
+      ai += aI[j];
+      aq += aQ[j];
+    }
+    yI[m] = ai;
+    yQ[m] = aq;
   }
 }
 

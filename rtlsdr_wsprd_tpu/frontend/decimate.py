@@ -146,13 +146,6 @@ def decimate_stage2_batched(midI: jnp.ndarray, midQ: jnp.ndarray,
     return decimate_stage2_xla(midI, midQ, n_frames)
 
 
-@jax.jit
-def u8_planar_to_f32(u8: jnp.ndarray) -> jnp.ndarray:
-    """RTL uint8 -> centered float32 (the reference's XOR 0x80 recenter,
-    rtlsdr_wsprd.c:171)."""
-    return u8.astype(jnp.float32) - 128.0
-
-
 def decimate_window(
     rawI: np.ndarray, rawQ: np.ndarray, n_out: int | None = None,
     use_pallas: bool = False,

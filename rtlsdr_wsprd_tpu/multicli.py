@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-x", dest="noreport", action="store_true")
     p.add_argument("--device-batch", type=int, default=64,
                    help="windows per device decode batch (default 64)")
+    p.add_argument("--frontend", choices=("auto", "device", "host"),
+                   default="auto",
+                   help="where the 6400:1 decimator runs: device (raw "
+                        "uint8 to the chip), host (native C++; only "
+                        "375 sps baseband crosses the link), or auto "
+                        "(host on RPC-tunneled backends)")
     p.add_argument("--help", action="help")
     p.add_argument("--version", action="version",
                    version=f"rtlsdr_wsprd_tpu {__version__}")
@@ -121,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         bank, options, quiet=False,
         device_batch=args.device_batch,
         fec="auto", dialfreqs=dialfreqs, reporters=reporters,
-        align=not args.synth)
+        align=not args.synth, frontend=args.frontend)
     try:
         daemon.run(max_windows=args.maxloop)
     finally:

@@ -41,7 +41,9 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and not _build():
+    if (_NATIVE_DIR / "Makefile").exists():
+        _build()  # make decides staleness; no-op when fresh
+    if not _SO.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_SO))
@@ -74,6 +76,18 @@ def _load():
         lib.u8_deinterleave_pairs.argtypes = [
             u8p, ctypes.c_uint64, u8p, u8p]
         lib.u8_deinterleave_pairs.restype = None
+
+    if hasattr(lib, "wspr_pp_decimate_f32"):  # absent in stale .so
+        i64 = ctypes.c_int64
+        lib.wspr_pp_decimate_f32.argtypes = [
+            f32p, f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
+        lib.wspr_pp_decimate_f32.restype = None
+        lib.wspr_pp_decimate_u8.argtypes = [
+            u8p, u8p, f32p, f32p, i64, i64, i64, f32p, f32p]
+        lib.wspr_pp_decimate_u8.restype = None
+        lib.wspr_fir_decimate_f32.argtypes = [
+            f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
+        lib.wspr_fir_decimate_f32.restype = None
 
     if hasattr(lib, "f32_quantize_i8"):  # absent in stale prebuilt .so
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
@@ -201,6 +215,56 @@ def u8_deinterleave_pairs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     out_q = np.empty(n, np.uint8)
     lib.u8_deinterleave_pairs(raw, n, out_i, out_q)
     return out_i, out_q
+
+
+HAS_DECIMATE = AVAILABLE and hasattr(_lib, "wspr_pp_decimate_f32")
+
+
+def pp_decimate(xI: np.ndarray, xQ: np.ndarray, gr: np.ndarray,
+                gi: np.ndarray, R: int,
+                n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Complex-tap polyphase decimation on host (one output per R
+    inputs; conv-ordered taps; uint8 inputs centered by -128 inline).
+    Same math as the device kernel frontend/decimate._polyphase_pp —
+    the host-placed front end for link-constrained deployments
+    (frontend/host_decimate.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "wspr_pp_decimate_f32"):
+        raise RuntimeError("native hostdsp polyphase unavailable "
+                           "(rebuild native/, or use the device path)")
+    taps = gr.shape[0]
+    assert xI.shape == xQ.shape == (n_frames * R + taps - R,)
+    gr = np.ascontiguousarray(gr, np.float32)
+    gi = np.ascontiguousarray(gi, np.float32)
+    yI = np.empty(n_frames, np.float32)
+    yQ = np.empty(n_frames, np.float32)
+    if xI.dtype == np.uint8:
+        lib.wspr_pp_decimate_u8(np.ascontiguousarray(xI),
+                                np.ascontiguousarray(xQ),
+                                gr, gi, taps, R, n_frames, yI, yQ)
+    else:
+        lib.wspr_pp_decimate_f32(
+            np.ascontiguousarray(xI, np.float32),
+            np.ascontiguousarray(xQ, np.float32),
+            gr, gi, taps, R, n_frames, yI, yQ)
+    return yI, yQ
+
+
+def fir_decimate(xI: np.ndarray, xQ: np.ndarray, g: np.ndarray, R: int,
+                 n_frames: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-tap polyphase decimation on host (both planes share taps)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "wspr_fir_decimate_f32"):
+        raise RuntimeError("native hostdsp polyphase unavailable")
+    taps = g.shape[0]
+    assert xI.shape == xQ.shape == (n_frames * R + taps - R,)
+    yI = np.empty(n_frames, np.float32)
+    yQ = np.empty(n_frames, np.float32)
+    lib.wspr_fir_decimate_f32(
+        np.ascontiguousarray(xI, np.float32),
+        np.ascontiguousarray(xQ, np.float32),
+        np.ascontiguousarray(g, np.float32), taps, R, n_frames, yI, yQ)
+    return yI, yQ
 
 
 def quantize_into(x: np.ndarray, out: np.ndarray, scale: float) -> None:

@@ -81,7 +81,7 @@ class MultiChannelDaemon:
                  fec: str = "auto",
                  dialfreqs: list[int] | None = None,
                  reporters: list[WsprnetReporter | None] | None = None,
-                 align: bool = False):
+                 align: bool = False, frontend: str = "auto"):
         """``dialfreqs``: per-channel dial frequency in Hz for a
         multi-band bank — spot frequencies are decoded against
         ``options.freq`` and re-based per channel before print/post
@@ -91,7 +91,13 @@ class MultiChannelDaemon:
         ``align``: sleep to the next even-2-minute wall-clock boundary
         and drop pre-boundary samples before the first window (live
         banks; the reference's capture-at-boundary,
-        rtlsdr_wsprd.c:1145-1160)."""
+        rtlsdr_wsprd.c:1145-1160). ``frontend``: where the 6400:1
+        decimator runs — ``"device"`` (raw uint8 to the chip, MXU math;
+        frontend/decimate.py), ``"host"`` (native C++ polyphase, only
+        375 sps baseband crosses the link — 1600x fewer bytes;
+        frontend/host_decimate.py), or ``"auto"`` (host on RPC-tunneled
+        backends where link bytes are the scarce resource, device on
+        PCIe-attached chips)."""
         self.bank = bank
         self.options = options
         self.reporter = reporter
@@ -109,8 +115,25 @@ class MultiChannelDaemon:
             self.hashtable = WsprHashTable.load(hashtable_path)
         else:
             self.hashtable = WsprHashTable()
-        self._dec = BatchedStreamingDecimator(bank.n_channels)
+        self._dec = self._make_frontend(frontend, bank.n_channels)
         self._ts: list[float] = []  # completion time per pending batch
+
+    def _make_frontend(self, frontend: str, n_channels: int):
+        from .. import native
+        from ..frontend.host_decimate import (
+            HostBatchedStreamingDecimator,
+            tunneled_backend,
+        )
+
+        if frontend == "auto":
+            frontend = ("host" if native.HAS_DECIMATE and tunneled_backend()
+                        else "device")
+        self.frontend_placement = frontend
+        if frontend == "host":
+            return HostBatchedStreamingDecimator(n_channels)
+        if frontend == "device":
+            return BatchedStreamingDecimator(n_channels)
+        raise ValueError(f"unknown frontend placement: {frontend!r}")
 
     # -- ingest side --------------------------------------------------------
 

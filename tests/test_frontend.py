@@ -326,3 +326,73 @@ def test_batched_streaming_uint8_chunks_match_float32():
     fq = np.concatenate([o[1] for o in outs_f], axis=1)
     np.testing.assert_array_equal(ui, fi)
     np.testing.assert_array_equal(uq, fq)
+
+
+def test_host_pp_kernel_matches_xla_stage1():
+    """Native C++ polyphase (host placement) == device stage-1 kernel
+    on the same raw bytes, uint8 and float32 (tolerance: float
+    accumulation order differs across the 640-tap sums)."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_xla
+    from rtlsdr_wsprd_tpu.frontend.host_decimate import _host_taps
+
+    if not native.HAS_DECIMATE:
+        pytest.skip("native hostdsp polyphase unavailable")
+    g1r, g1i, g2 = _host_taps()
+    rng = np.random.default_rng(17)
+    n_frames = 400
+    L = n_frames * R1 + STAGE1_TAPS - R1
+    u8I = rng.integers(0, 256, L).astype(np.uint8)
+    u8Q = rng.integers(0, 256, L).astype(np.uint8)
+
+    hI, hQ = native.pp_decimate(u8I, u8Q, g1r, g1i, R1, n_frames)
+    dI, dQ = decimate_stage1_xla(jnp.asarray(u8I), jnp.asarray(u8Q),
+                                 n_frames)
+    scale = np.abs(np.asarray(dI)).max()
+    np.testing.assert_allclose(hI, np.asarray(dI), atol=2e-4 * scale)
+    np.testing.assert_allclose(hQ, np.asarray(dQ), atol=2e-4 * scale)
+
+    fI = u8I.astype(np.float32) - 128.0
+    fQ = u8Q.astype(np.float32) - 128.0
+    hI2, hQ2 = native.pp_decimate(fI, fQ, g1r, g1i, R1, n_frames)
+    np.testing.assert_allclose(hI2, hI, atol=1e-4 * scale)
+    np.testing.assert_allclose(hQ2, hQ, atol=1e-4 * scale)
+
+
+def test_host_batched_streaming_matches_device():
+    """HostBatchedStreamingDecimator (native C++ placement) produces
+    the same 375 sps stream as the device BatchedStreamingDecimator:
+    same priming, carries and alignment, chunked uint8 pushes + flush."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.frontend.decimate import (
+        BatchedStreamingDecimator,
+    )
+    from rtlsdr_wsprd_tpu.frontend.host_decimate import (
+        HostBatchedStreamingDecimator,
+    )
+
+    if not native.HAS_DECIMATE:
+        pytest.skip("native hostdsp polyphase unavailable")
+    C = 2
+    rng = np.random.default_rng(23)
+    chunks = [rng.integers(0, 256, (C, n)).astype(np.uint8)
+              for n in (300_000, 170_001, 250_000)]
+    chunksQ = [rng.integers(0, 256, c.shape).astype(np.uint8)
+               for c in chunks]
+
+    host = HostBatchedStreamingDecimator(C)
+    houts = [host.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    houts.append(host.flush())
+    hI = np.concatenate([o[0] for o in houts], axis=1)
+    hQ = np.concatenate([o[1] for o in houts], axis=1)
+
+    dev = BatchedStreamingDecimator(C)
+    douts = [dev.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    douts.append(dev.flush())
+    dI = np.concatenate([o[0] for o in douts], axis=1)
+    dQ = np.concatenate([o[1] for o in douts], axis=1)
+
+    assert hI.shape == dI.shape
+    scale = np.abs(dI).max()
+    np.testing.assert_allclose(hI, dI, atol=2e-4 * scale)
+    np.testing.assert_allclose(hQ, dQ, atol=2e-4 * scale)

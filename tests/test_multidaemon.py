@@ -128,3 +128,26 @@ def test_multichannel_raw_to_spots_end_to_end():
     assert abs((f1.freq * 1e6 - 1500.0) - (-40.0)) < 0.5
     assert d.stats.window_batches == 1
     assert d.stats.spots >= 2
+
+
+@pytest.mark.slow
+def test_multichannel_host_frontend_end_to_end():
+    """Full chain with the HOST-placed front end (native C++ polyphase,
+    frontend='host'): raw uint8 -> exact decoded message. The placement
+    the daemon auto-selects on RPC-tunneled backends, where only
+    375 sps baseband crosses the host->device link."""
+    from rtlsdr_wsprd_tpu import native
+
+    if not native.HAS_DECIMATE:
+        pytest.skip("native hostdsp polyphase unavailable")
+    bank = SyntheticRawBank(2, messages=["K1JT FN20QI 20"],
+                            f0s=[30.0, -40.0], amps=25.0, noises=3.0,
+                            duration_s=122.0)
+    d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                           device_batch=2, frontend="host")
+    assert d.frontend_placement == "host"
+    out = d.run()
+    assert d.stats.errors == 0 and len(out) == 1
+    for ch in range(2):
+        got = {(s.call, s.loc, s.pwr) for s in out[0][ch]}
+        assert ("K1JT", "FN20", "20") in got
