@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-x", dest="noreport", action="store_true")
     p.add_argument("--device-batch", type=int, default=64,
                    help="windows per device decode batch (default 64)")
+    p.add_argument("--dial", action="append", default=[],
+                   metavar="FREQ|BAND", dest="dials",
+                   help="wideband: decode this ADDITIONAL dial from the "
+                        "single --endpoint capture (repeatable; the "
+                        "2.4 Msps span covers endpoint dial -593.5 kHz "
+                        "to +1796.5 kHz)")
+    p.add_argument("--no-align", dest="noalign", action="store_true",
+                   help="skip the 2-minute wall-clock capture alignment "
+                        "(replay/faster-than-realtime rtl_tcp servers)")
     p.add_argument("--frontend", choices=("auto", "device", "host"),
                    default="auto",
                    help="where the 6400:1 decimator runs: device (raw "
@@ -109,6 +118,26 @@ def main(argv: list[str] | None = None) -> int:
                 directsampling=directsampling)))
         bank = RtlTcpBank(endpoints)
 
+    channelize = None
+    if args.dials:
+        if args.synth or len(args.endpoint) != 1:
+            print("--dial (wideband) needs exactly one --endpoint.",
+                  file=sys.stderr)
+            return 1
+        channelize = [dialfreqs[0]]
+        for d in args.dials:
+            f, _ds = parse_frequency(d)
+            # the tuned center is dial0 + 601.5 kHz (fs/4 offset), so
+            # the 2.4 Msps capture covers dial0 - 598.5k .. + 1801.5k;
+            # 5 kHz margin keeps the band off the Nyquist edges
+            if f == 0 or not (-593_500 < f - dialfreqs[0] < 1_796_500):
+                print(f"Bad --dial {d!r} (unknown or outside the "
+                      "2.4 Msps span: dial-593.5k .. dial+1796.5k)",
+                      file=sys.stderr)
+                return 1
+            channelize.append(f)
+        dialfreqs = list(channelize)
+
     options = DecoderOptions(
         freq=dialfreqs[0],
         rcall=args.rcall[:12].upper(),
@@ -127,7 +156,8 @@ def main(argv: list[str] | None = None) -> int:
         bank, options, quiet=False,
         device_batch=args.device_batch,
         fec="auto", dialfreqs=dialfreqs, reporters=reporters,
-        align=not args.synth, frontend=args.frontend)
+        align=not args.synth and not args.noalign,
+        frontend=args.frontend, channelize=channelize)
     try:
         daemon.run(max_windows=args.maxloop)
     finally:
@@ -139,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Processed {s.window_batches} window batch(es), "
           f"{s.channel_windows} channel-windows, {s.spots} spot(s), "
           f"{s.errors} error(s).")
+    dropped = getattr(bank, "dropped_bytes", None)
+    if dropped and any(dropped):
+        # the RX ring overflowed: the host fell behind the stream and
+        # whole chunks were discarded (the dongle-overflow analog) —
+        # windows spanning the gaps will not decode
+        print("WARNING: ingest ring overflow, dropped bytes per "
+              f"channel: {dropped}", file=sys.stderr)
     return 0
 
 

@@ -98,6 +98,60 @@ class SyntheticRawBank(RawBank):
         return outI, outQ
 
 
+class WidebandSyntheticRawBank(RawBank):
+    """ONE raw 2.4 Msps uint8 stream holding several WSPR signals at
+    DIFFERENT dial frequencies (wideband channelizer testing / load
+    generation, frontend/channelize.py).
+
+    ``signals``: list of (message, dial_hz, audio_f0_hz, amp_counts).
+    ``tuned_dial``: the dial the (virtual) dongle is tuned to — a
+    signal for dial d at audio offset a is synthesized at raw offset
+    a + (d - tuned_dial) relative to the -600 kHz band slot
+    (runtime/synth.synth_raw_2400k's convention). Component signals
+    are combined in centered int16 before re-quantizing to uint8.
+    """
+
+    n_channels = 1
+
+    def __init__(self, signals, tuned_dial: int,
+                 noise_counts: float = 3.0, duration_s: float = 122.0,
+                 chunk_s: float = 2.0, seed: int = 7):
+        ht = WsprHashTable()
+        self._gens = []
+        for k, (msg, dial_hz, f0, amp) in enumerate(signals):
+            symbols = get_wspr_channel_symbols(msg, ht)
+            if symbols is None:
+                raise ValueError(f"unencodable message: {msg!r}")
+            self._gens.append(synth_raw_2400k(
+                symbols, f0=f0 + (dial_hz - tuned_dial), amp_counts=amp,
+                noise_counts=noise_counts if k == 0 else 0.0,
+                duration_s=duration_s, seed=seed + k, chunk_s=chunk_s))
+        self._bufs = [(np.zeros(0, np.uint8), np.zeros(0, np.uint8))
+                      for _ in self._gens]
+
+    def read(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        for k, gen in enumerate(self._gens):
+            bi, bq = self._bufs[k]
+            while bi.shape[0] < n:
+                try:
+                    ri, rq = next(gen)
+                except StopIteration:
+                    break
+                bi = np.concatenate([bi, ri])
+                bq = np.concatenate([bq, rq])
+            self._bufs[k] = (bi, bq)
+        m = min(n, min(b[0].shape[0] for b in self._bufs))
+        accI = np.zeros(m, np.int16)
+        accQ = np.zeros(m, np.int16)
+        for k, (bi, bq) in enumerate(self._bufs):
+            accI += bi[:m].astype(np.int16) - 128
+            accQ += bq[:m].astype(np.int16) - 128
+            self._bufs[k] = (bi[m:], bq[m:])
+        outI = np.clip(accI + 128, 0, 255).astype(np.uint8)[None, :]
+        outQ = np.clip(accQ + 128, 0, 255).astype(np.uint8)[None, :]
+        return outI, outQ
+
+
 class RtlTcpBank(RawBank):
     """One rtl_tcp connection per channel; aligned blocking reads.
 
@@ -145,4 +199,5 @@ class RtlTcpBank(RawBank):
             c.close()
 
 
-__all__ = ["RawBank", "SyntheticRawBank", "RtlTcpBank"]
+__all__ = ["RawBank", "SyntheticRawBank", "WidebandSyntheticRawBank",
+           "RtlTcpBank"]

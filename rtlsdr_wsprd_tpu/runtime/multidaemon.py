@@ -81,7 +81,8 @@ class MultiChannelDaemon:
                  fec: str = "auto",
                  dialfreqs: list[int] | None = None,
                  reporters: list[WsprnetReporter | None] | None = None,
-                 align: bool = False, frontend: str = "auto"):
+                 align: bool = False, frontend: str = "auto",
+                 channelize: list[int] | None = None):
         """``dialfreqs``: per-channel dial frequency in Hz for a
         multi-band bank — spot frequencies are decoded against
         ``options.freq`` and re-based per channel before print/post
@@ -97,7 +98,14 @@ class MultiChannelDaemon:
         375 sps baseband crosses the link — 1600x fewer bytes;
         frontend/host_decimate.py), or ``"auto"`` (host on RPC-tunneled
         backends where link bytes are the scarce resource, device on
-        PCIe-attached chips)."""
+        PCIe-attached chips). ``channelize``: wideband mode — the bank
+        is ONE raw stream (n_channels == 1, tuned to ``options.freq``)
+        and each listed dial frequency becomes an output channel via
+        per-dial derotation ahead of the shared polyphase chain
+        (frontend/channelize.py); ``dialfreqs`` defaults to the list.
+        The reference binds one dongle to one band
+        (rtlsdr_wsprd.c:1044-1124) — this decodes every WSPR dial
+        inside the capture's +-1.2 MHz from one dongle."""
         self.bank = bank
         self.options = options
         self.reporter = reporter
@@ -115,10 +123,21 @@ class MultiChannelDaemon:
             self.hashtable = WsprHashTable.load(hashtable_path)
         else:
             self.hashtable = WsprHashTable()
-        self._dec = self._make_frontend(frontend, bank.n_channels)
+        if channelize is not None:
+            if bank.n_channels != 1:
+                raise ValueError("channelize requires a single-stream "
+                                 f"bank (got {bank.n_channels} channels)")
+            self.n_out_channels = len(channelize)
+            if self.dialfreqs is None:
+                self.dialfreqs = list(channelize)
+        else:
+            self.n_out_channels = bank.n_channels
+        self._dec = self._make_frontend(frontend, bank.n_channels,
+                                        channelize)
         self._ts: list[float] = []  # completion time per pending batch
 
-    def _make_frontend(self, frontend: str, n_channels: int):
+    def _make_frontend(self, frontend: str, n_channels: int,
+                       channelize: list[int] | None):
         from .. import native
         from ..frontend.host_decimate import (
             HostBatchedStreamingDecimator,
@@ -129,6 +148,12 @@ class MultiChannelDaemon:
             frontend = ("host" if native.HAS_DECIMATE and tunneled_backend()
                         else "device")
         self.frontend_placement = frontend
+        if channelize is not None:
+            from ..frontend.channelize import ChannelizingStreamingDecimator
+
+            offsets = [self.options.freq - d for d in channelize]
+            return ChannelizingStreamingDecimator(offsets,
+                                                  placement=frontend)
         if frontend == "host":
             return HostBatchedStreamingDecimator(n_channels)
         if frontend == "device":
@@ -149,7 +174,7 @@ class MultiChannelDaemon:
         if self.align:
             time.sleep(120.0 - (time.time() % 120.0))
             self.bank.discard_buffered()
-        C = self.bank.n_channels
+        C = self.n_out_channels
         acc_i = np.zeros((C, 0), np.float32)
         acc_q = np.zeros((C, 0), np.float32)
         n = 0

@@ -396,3 +396,73 @@ def test_host_batched_streaming_matches_device():
     scale = np.abs(dI).max()
     np.testing.assert_allclose(hI, dI, atol=2e-4 * scale)
     np.testing.assert_allclose(hQ, dQ, atol=2e-4 * scale)
+
+
+def test_channelizer_zero_offset_is_passthrough():
+    """A zero-offset channelizer channel is EXACTLY the plain batched
+    decimator: derotation by the carried unit phasor must not perturb
+    the tuned dial's own path."""
+    from rtlsdr_wsprd_tpu.frontend.channelize import (
+        ChannelizingStreamingDecimator,
+    )
+    from rtlsdr_wsprd_tpu.frontend.decimate import (
+        BatchedStreamingDecimator,
+    )
+
+    rng = np.random.default_rng(31)
+    chunks = [rng.integers(0, 256, (1, n)).astype(np.uint8)
+              for n in (900_000, 700_123)]
+    chunksQ = [rng.integers(0, 256, c.shape).astype(np.uint8)
+               for c in chunks]
+
+    cz = ChannelizingStreamingDecimator([0.0], placement="device")
+    outs = [cz.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    outs.append(cz.flush())
+    cI = np.concatenate([o[0] for o in outs], axis=1)
+    cQ = np.concatenate([o[1] for o in outs], axis=1)
+
+    plain = BatchedStreamingDecimator(1)
+    pouts = [plain.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    pouts.append(plain.flush())
+    pI = np.concatenate([o[0] for o in pouts], axis=1)
+    pQ = np.concatenate([o[1] for o in pouts], axis=1)
+
+    assert cI.shape == pI.shape
+    scale = np.abs(pI).max()
+    np.testing.assert_allclose(cI, pI, atol=1e-5 * scale)
+    np.testing.assert_allclose(cQ, pQ, atol=1e-5 * scale)
+
+
+def test_channelizer_host_matches_device():
+    """Host-placed channelizer (native derotate + C++ polyphase) ==
+    device-placed (fused XLA step), K=2 dials 50 kHz apart, including
+    carry/flush behavior and the phase-origin convention."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.frontend.channelize import (
+        ChannelizingStreamingDecimator,
+    )
+
+    if not native.HAS_DECIMATE:
+        pytest.skip("native hostdsp polyphase unavailable")
+    rng = np.random.default_rng(37)
+    chunks = [rng.integers(0, 256, (1, n)).astype(np.uint8)
+              for n in (900_000, 700_123, 800_000)]
+    chunksQ = [rng.integers(0, 256, c.shape).astype(np.uint8)
+               for c in chunks]
+
+    offs = [0.0, 50_000.0]
+    cd = ChannelizingStreamingDecimator(offs, placement="device")
+    ch = ChannelizingStreamingDecimator(offs, placement="host")
+    do = [cd.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    do.append(cd.flush())
+    ho = [ch.push(ci, cq) for ci, cq in zip(chunks, chunksQ)]
+    ho.append(ch.flush())
+    dI = np.concatenate([o[0] for o in do], axis=1)
+    dQ = np.concatenate([o[1] for o in do], axis=1)
+    hI = np.concatenate([o[0] for o in ho], axis=1)
+    hQ = np.concatenate([o[1] for o in ho], axis=1)
+
+    assert dI.shape == hI.shape == (2, dI.shape[1])
+    scale = np.abs(dI).max()
+    np.testing.assert_allclose(hI, dI, atol=2e-4 * scale)
+    np.testing.assert_allclose(hQ, dQ, atol=2e-4 * scale)

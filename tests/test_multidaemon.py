@@ -151,3 +151,35 @@ def test_multichannel_host_frontend_end_to_end():
     for ch in range(2):
         got = {(s.call, s.loc, s.pwr) for s in out[0][ch]}
         assert ("K1JT", "FN20", "20") in got
+
+
+@pytest.mark.slow
+def test_wideband_channelizer_two_dials_end_to_end():
+    """Wideband mode: TWO WSPR dials 50 kHz apart decoded from ONE raw
+    2.4 Msps capture via per-dial derotation (frontend/channelize.py)
+    — a capability the reference (one dongle = one band,
+    rtlsdr_wsprd.c:1044-1124) does not have. Each dial's message
+    decodes exactly, on its own channel, at its own audio frequency."""
+    from rtlsdr_wsprd_tpu.runtime.banks import WidebandSyntheticRawBank
+
+    d0, d1 = 14_095_600, 14_045_600
+    bank = WidebandSyntheticRawBank(
+        [("K1JT FN20QI 20", d0, 30.0, 25.0),
+         ("W1AW FN31 30", d1, -40.0, 25.0)],
+        tuned_dial=d0, noise_counts=3.0, duration_s=122.0)
+    opts = DecoderOptions(quickmode=True, freq=d0)
+    d = MultiChannelDaemon(bank, opts, device_batch=2,
+                           channelize=[d0, d1], frontend="device")
+    out = d.run()
+    assert d.stats.errors == 0 and len(out) == 1
+    per_channel = out[0]
+    assert len(per_channel) == 2
+    got0 = {(s.call, s.loc, s.pwr) for s in per_channel[0]}
+    got1 = {(s.call, s.loc, s.pwr) for s in per_channel[1]}
+    assert ("K1JT", "FN20", "20") in got0
+    assert ("W1AW", "FN31", "30") in got1
+    # each channel reports against its own dial (+-0.5 Hz at audio)
+    f0 = next(s for s in per_channel[0] if s.call == "K1JT")
+    f1 = next(s for s in per_channel[1] if s.call == "W1AW")
+    assert abs(f0.freq * 1e6 - (d0 + 1500 + 30.0)) < 0.5
+    assert abs(f1.freq * 1e6 - (d1 + 1500 - 40.0)) < 0.5
