@@ -117,10 +117,9 @@ class ChannelizingStreamingDecimator:
         if placement == "host":
             if not native.HAS_DECIMATE:
                 raise RuntimeError("native hostdsp polyphase unavailable")
+            # derotation happens per incoming chunk (stream-positioned
+            # phase); the host decimator carries the raw remnant itself
             self._host = HostBatchedStreamingDecimator(K, threads=threads)
-            self._bufI = np.zeros(0, np.float32)  # pre-derotate remnant
-            self._bufQ = np.zeros(0, np.float32)
-            # the host decimator primes its own raw carry on first push
         elif placement == "device":
             self._bufI = None  # primed by first push (dtype-decided)
             self._bufQ = None
@@ -135,6 +134,8 @@ class ChannelizingStreamingDecimator:
         key = (length, device)
         t = self._tabs.get(key)
         if t is None:
+            if len(self._tabs) >= 8:  # bound memory under odd chunking
+                self._tabs.clear()
             c, s = _phasor_tables(self.offsets, length)
             if device:
                 c, s = jnp.asarray(c), jnp.asarray(s)
