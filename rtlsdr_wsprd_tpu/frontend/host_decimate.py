@@ -163,6 +163,37 @@ class HostBatchedStreamingDecimator:
                          np.zeros((self._C, 0), np.float32))
 
 
+class HostStreamingDecimator:
+    """Single-stream adapter over HostBatchedStreamingDecimator:
+    StreamingDecimator-compatible push/flush with 1-D planar arrays
+    (runtime/sources.py single-channel live path)."""
+
+    def __init__(self, threads: int = 1):
+        self._b = HostBatchedStreamingDecimator(1, threads=threads)
+
+    def push(self, rawI: np.ndarray, rawQ: np.ndarray,
+             exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        oi, oq = self._b.push(rawI[None, :], rawQ[None, :], exact)
+        return oi[0], oq[0]
+
+    def flush(self) -> tuple[np.ndarray, np.ndarray]:
+        oi, oq = self._b.flush()
+        return oi[0], oq[0]
+
+
+def resolve_placement(frontend: str) -> str:
+    """'auto' -> 'host' on RPC-tunneled backends when the native
+    library is present, else 'device'; explicit values pass through."""
+    if frontend == "auto":
+        from .. import native
+
+        return ("host" if native.HAS_DECIMATE and tunneled_backend()
+                else "device")
+    if frontend in ("host", "device"):
+        return frontend
+    raise ValueError(f"unknown frontend placement: {frontend!r}")
+
+
 def tunneled_backend() -> bool:
     """True when the JAX backend is reached over an RPC tunnel (the
     PJRT platform_version names the plugin), i.e. when host<->device
@@ -180,4 +211,5 @@ def tunneled_backend() -> bool:
             or "axon" in os.environ.get("JAX_PLATFORMS", ""))
 
 
-__all__ = ["HostBatchedStreamingDecimator", "tunneled_backend"]
+__all__ = ["HostBatchedStreamingDecimator", "HostStreamingDecimator",
+           "resolve_placement", "tunneled_backend"]

@@ -138,15 +138,12 @@ class MultiChannelDaemon:
 
     def _make_frontend(self, frontend: str, n_channels: int,
                        channelize: list[int] | None):
-        from .. import native
         from ..frontend.host_decimate import (
             HostBatchedStreamingDecimator,
-            tunneled_backend,
+            resolve_placement,
         )
 
-        if frontend == "auto":
-            frontend = ("host" if native.HAS_DECIMATE and tunneled_backend()
-                        else "device")
+        frontend = resolve_placement(frontend)
         self.frontend_placement = frontend
         if channelize is not None:
             from ..frontend.channelize import ChannelizingStreamingDecimator
@@ -156,9 +153,7 @@ class MultiChannelDaemon:
                                                   placement=frontend)
         if frontend == "host":
             return HostBatchedStreamingDecimator(n_channels)
-        if frontend == "device":
-            return BatchedStreamingDecimator(n_channels)
-        raise ValueError(f"unknown frontend placement: {frontend!r}")
+        return BatchedStreamingDecimator(n_channels)
 
     # -- ingest side --------------------------------------------------------
 

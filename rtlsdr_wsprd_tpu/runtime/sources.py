@@ -327,23 +327,41 @@ class RtlTcpSource(Source):
     """Single-channel stream from an rtl_tcp server through the TPU
     front end: an RtlTcpConnection + streaming decimator. Multi-dongle
     ingest uses runtime.banks.RtlTcpBank (one batched decimator over
-    every connection) instead."""
+    every connection) instead.
+
+    ``frontend`` places the decimator like the many-channel daemon
+    (frontend/host_decimate.py): "device" uploads the raw stream,
+    "host" runs the native C++ polyphase so only 375 sps baseband
+    reaches the device, "auto" picks host on RPC-tunneled backends.
+    """
 
     def __init__(self, host: str, port: int, dialfreq_hz: int,
                  shift_hz: int = 0, upconverter_hz: int = 0,
                  gain_tenths_db: int = 290, autogain: bool = False,
                  ppm: int = 0, directsampling: int = 0,
                  use_pallas: bool = False,
-                 max_buffer_bytes: int = 256 << 20):
+                 max_buffer_bytes: int = 256 << 20,
+                 frontend: str = "auto"):
         self._conn = RtlTcpConnection(
             host, port, dialfreq_hz, shift_hz=shift_hz,
             upconverter_hz=upconverter_hz, gain_tenths_db=gain_tenths_db,
             autogain=autogain, ppm=ppm, directsampling=directsampling,
             max_buffer_bytes=max_buffer_bytes)
-        self._dec = StreamingDecimator(use_pallas=use_pallas)
+        from ..frontend.host_decimate import resolve_placement
+
+        self.frontend_placement = resolve_placement(frontend)
+        self._use_pallas = use_pallas
+        self._dec = self._make_dec()
         self._bi = np.zeros(0, np.float32)
         self._bq = np.zeros(0, np.float32)
         self._eof = False
+
+    def _make_dec(self):
+        if self.frontend_placement == "host":
+            from ..frontend.host_decimate import HostStreamingDecimator
+
+            return HostStreamingDecimator()
+        return StreamingDecimator(use_pallas=self._use_pallas)
 
     @property
     def dropped_bytes(self) -> int:
@@ -354,7 +372,7 @@ class RtlTcpSource(Source):
         connection's ring and reset the decimator chain (carried
         filter state belongs to the discarded stream)."""
         self._conn.drop_buffered()
-        self._dec = StreamingDecimator(use_pallas=self._dec.use_pallas)
+        self._dec = self._make_dec()
         self._bi = np.zeros(0, np.float32)
         self._bq = np.zeros(0, np.float32)
 

@@ -445,3 +445,30 @@ def test_rtltcp_source_rejects_bad_header():
     threading.Thread(target=serve, daemon=True).start()
     with pytest.raises(IOError, match="not an rtl_tcp server"):
         RtlTcpSource("127.0.0.1", port, dialfreq_hz=14_095_600)
+
+
+def test_rtltcp_source_host_frontend_matches_device():
+    """RtlTcpSource(frontend='host') — the native C++ placement the
+    single-channel daemon auto-selects on tunneled backends — yields
+    the same 375 sps baseband as the device placement from an
+    identical stream."""
+    from rtlsdr_wsprd_tpu import native
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpSource
+
+    if not native.HAS_DECIMATE:
+        pytest.skip("native hostdsp polyphase unavailable")
+    payload = _tone_payload(62.5, seconds=2.0)
+    outs = {}
+    for placement in ("device", "host"):
+        srv = _LoopbackRtlTcp(payload)
+        src = RtlTcpSource("127.0.0.1", srv.port,
+                           dialfreq_hz=14_095_600, frontend=placement)
+        assert src.frontend_placement == placement
+        outs[placement] = src.read(700)
+        src.close()
+    dI, dQ = outs["device"]
+    hI, hQ = outs["host"]
+    assert dI.shape == hI.shape == (700,)
+    scale = np.abs(dI).max()
+    np.testing.assert_allclose(hI, dI, atol=2e-4 * scale)
+    np.testing.assert_allclose(hQ, dQ, atol=2e-4 * scale)
