@@ -16,7 +16,10 @@ RUN apt-get update && apt-get install -y --no-install-recommends \
     g++ make && rm -rf /var/lib/apt/lists/*
 WORKDIR /src
 COPY . .
-RUN make -C native && pip wheel --no-deps -w /wheels .
+# portable SIMD baseline for a distributable image (the Makefile's
+# default -march=native is for builds on the machine that runs them)
+RUN make -C native CXXFLAGS="-O3 -std=c++17 -Wall -Wextra -fPIC" \
+    && pip wheel --no-deps -w /wheels .
 
 FROM python:3.12-slim-trixie
 RUN pip install --no-cache-dir "jax[cpu]" numpy
