@@ -30,12 +30,17 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..frontend.decimate import _polyphase_pp, _pp_mats
-from ..frontend.filters import R1, STAGE1_TAPS
+from ..frontend.filters import R1, R2, STAGE1_TAPS, STAGE2_TAPS
 
 
 def valid_frames(total_samples: int) -> int:
-    """Frames whose inputs never wrap past the end of the stream."""
+    """Stage-1 frames whose inputs never wrap past the stream end."""
     return (total_samples - (STAGE1_TAPS - R1)) // R1
+
+
+def valid_frames_stage2(total_mid: int) -> int:
+    """Stage-2 frames whose inputs never wrap past the mid-stream end."""
+    return (total_mid - (STAGE2_TAPS - R2)) // R2
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -56,6 +61,10 @@ def decimate_stage1_sharded(
     assert L % (n * R1) == 0, (L, n)
     halo = STAGE1_TAPS - R1
     frames_local = L // (n * R1)
+    # single-hop halo: each shard must hold at least the filter tail
+    assert frames_local * R1 >= halo, (
+        f"shard too short for the stage-1 halo: {frames_local * R1} "
+        f"local samples < {halo}; need >= {n * (halo + R1)} total")
     H1t, H1b, _, _ = _pp_mats()
     perm = [(i, (i - 1) % n) for i in range(n)]  # shard i -> i-1 (left)
 
@@ -70,3 +79,45 @@ def decimate_stage1_sharded(
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                    out_specs=(P(axis), P(axis)))
     return fn(xI, xQ)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def decimate_stage2_sharded(
+    midI: jnp.ndarray,
+    midQ: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "seq",
+):
+    """Stage-2 polyphase over a time-sharded 30 ksps mid-rate stream —
+    the same ppermute halo exchange as stage 1 with the stage-2 tail
+    (STAGE2_TAPS - R2 = 2320 mid samples, ~77 ms of halo per boundary).
+
+    midI/midQ: float32[M] with M a multiple of mesh.size * R2. Returns
+    planar (float32[M/R2], float32[M/R2]); the trailing
+    (STAGE2_TAPS/R2 - 1) frames wrap circularly, as in stage 1.
+    Chaining both stages keeps a single overwide stream fully
+    sequence-parallel from raw 2.4 Msps to 375 sps baseband.
+    """
+    n = mesh.shape[axis]
+    M = midI.shape[0]
+    assert M % (n * R2) == 0, (M, n)
+    halo = STAGE2_TAPS - R2
+    frames_local = M // (n * R2)
+    # single-hop halo: each shard must hold at least the filter tail
+    # (2320 mid samples = ~77 ms of 30 ksps stream per shard minimum)
+    assert frames_local * R2 >= halo, (
+        f"shard too short for the stage-2 halo: {frames_local * R2} "
+        f"local mid samples < {halo}; need >= {n * (halo + R2)} total")
+    _, _, H2t, H2b = _pp_mats()
+    perm = [(i, (i - 1) % n) for i in range(n)]
+
+    def local(xi, xq):
+        hi = jax.lax.ppermute(xi[:halo], axis, perm)
+        hq = jax.lax.ppermute(xq[:halo], axis, perm)
+        fi = jnp.concatenate([xi, hi])
+        fq = jnp.concatenate([xq, hq])
+        return _polyphase_pp(fi, fq, H2t, H2b, frames_local)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis)))
+    return fn(midI, midQ)
