@@ -27,6 +27,7 @@ from .filters import (
     stage1_coeffs,
     stage2_coeffs,
 )
+from .channelize import ChannelizingStreamingDecimator
 from .decimate import (
     BatchedStreamingDecimator,
     StreamingDecimator,
@@ -36,6 +37,11 @@ from .decimate import (
     decimate_stage2_xla,
     decimate_window,
 )
+from .host_decimate import (
+    HostBatchedStreamingDecimator,
+    HostStreamingDecimator,
+    resolve_placement,
+)
 
 __all__ = [
     "R1", "R2", "STAGE1_TAPS", "STAGE2_TAPS", "GROUP_DELAY_375",
@@ -43,4 +49,6 @@ __all__ = [
     "decimate_stage1_xla", "decimate_stage2_xla", "decimate_window",
     "decimate_stage1_batched", "decimate_stage2_batched",
     "StreamingDecimator", "BatchedStreamingDecimator",
+    "HostStreamingDecimator", "HostBatchedStreamingDecimator",
+    "ChannelizingStreamingDecimator", "resolve_placement",
 ]
