@@ -34,11 +34,6 @@ _METTAB = build_mettab()
 DEVICE_MAXCYCLES = 16
 
 
-def device_unroll() -> int | None:
-    """None -> batched_fano picks per backend at trace time."""
-    return None
-
-
 def pending_mask(success: np.ndarray, cycles: np.ndarray,
                  device_maxcycles: int, full_maxcycles: int) -> np.ndarray:
     """Lanes that hit the device budget without finishing (their
