@@ -343,21 +343,6 @@ void wspr_pp_decimate_u8(const uint8_t* xI, const uint8_t* xQ,
   delete[] fI;
 }
 
-// Wideband channelizer derotation (frontend/channelize.py): one dial's
-// complex heterodyne y = x * (cph + j*sph) * (tabC[n] + j*tabS[n]),
-// planar in/out. The table holds cos/sin(theta*n) for the chunk; the
-// scalar phasor carries the accumulated stream phase.
-void wspr_derotate(const float* xI, const float* xQ, const float* tabC,
-                   const float* tabS, float cph, float sph, int64_t n,
-                   float* yI, float* yQ) {
-  for (int64_t k = 0; k < n; ++k) {
-    const float c = cph * tabC[k] - sph * tabS[k];
-    const float s = cph * tabS[k] + sph * tabC[k];
-    yI[k] = xI[k] * c - xQ[k] * s;
-    yQ[k] = xI[k] * s + xQ[k] * c;
-  }
-}
-
 // real-tap variant (stage 2: stage2_coeffs is real): both planes
 // filtered by the same taps.
 void wspr_fir_decimate_f32(const float* xI, const float* xQ,

@@ -89,12 +89,6 @@ def _load():
             f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
         lib.wspr_fir_decimate_f32.restype = None
 
-    if hasattr(lib, "wspr_derotate"):  # absent in stale .so
-        lib.wspr_derotate.argtypes = [
-            f32p, f32p, f32p, f32p, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int64, f32p, f32p]
-        lib.wspr_derotate.restype = None
-
     if hasattr(lib, "f32_quantize_i8"):  # absent in stale prebuilt .so
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
         i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
@@ -271,27 +265,6 @@ def fir_decimate(xI: np.ndarray, xQ: np.ndarray, g: np.ndarray, R: int,
         np.ascontiguousarray(xQ, np.float32),
         np.ascontiguousarray(g, np.float32), taps, R, n_frames, yI, yQ)
     return yI, yQ
-
-
-def derotate(xI: np.ndarray, xQ: np.ndarray, tabC: np.ndarray,
-             tabS: np.ndarray, cph: float, sph: float,
-             outI: np.ndarray, outQ: np.ndarray) -> None:
-    """Planar complex heterodyne y = x * (cph+j*sph) * (tabC+j*tabS)
-    into outI/outQ (float32, same length). Numpy fallback when the
-    native library is stale/unavailable."""
-    lib = _load()
-    n = xI.shape[0]
-    if lib is None or not hasattr(lib, "wspr_derotate"):
-        c = cph * tabC - sph * tabS
-        s = cph * tabS + sph * tabC
-        outI[...] = xI * c - xQ * s
-        outQ[...] = xI * s + xQ * c
-        return
-    lib.wspr_derotate(np.ascontiguousarray(xI, np.float32),
-                      np.ascontiguousarray(xQ, np.float32),
-                      np.ascontiguousarray(tabC, np.float32),
-                      np.ascontiguousarray(tabS, np.float32),
-                      np.float32(cph), np.float32(sph), n, outI, outQ)
 
 
 def quantize_into(x: np.ndarray, out: np.ndarray, scale: float) -> None:

@@ -434,7 +434,7 @@ def test_channelizer_zero_offset_is_passthrough():
 
 
 def test_channelizer_host_matches_device():
-    """Host-placed channelizer (native derotate + C++ polyphase) ==
+    """Host-placed channelizer (native C++ polyphase, folded taps) ==
     device-placed (fused XLA step), K=2 dials 50 kHz apart, including
     carry/flush behavior and the phase-origin convention."""
     from rtlsdr_wsprd_tpu import native
