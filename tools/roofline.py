@@ -135,6 +135,35 @@ def main() -> None:
     fl_f, by_f = cost(fe, (xI, xQ))
     rows.append(("front end stage-1 (u8 in)", dt_f, fl_f, by_f))
 
+    # ---- wideband channelizer: K dials, one fused step, raw read once --
+    from rtlsdr_wsprd_tpu.frontend.channelize import (
+        ChannelizingStreamingDecimator,
+    )
+
+    K = 4
+    cz = ChannelizingStreamingDecimator(
+        [0.0, 50_000.0, -200_000.0, 1_000_000.0][:K], placement="device")
+    n_mid = cz.QUANT1
+    Lc = n_mid * R1 + STAGE1_TAPS - R1
+    cI = jnp.asarray(rng.integers(0, 256, (Lc,), np.uint8))
+    cQ = jnp.asarray(rng.integers(0, 256, (Lc,), np.uint8))
+    rotC, rotS = cz._rot_tables(n_mid, device=True)
+    ph0 = jnp.zeros((K, 1), jnp.float32)
+    ph1 = jnp.ones((K, 1), jnp.float32)
+
+    from rtlsdr_wsprd_tpu.frontend.channelize import (
+        _folded_frontend_step,
+    )
+
+    def chan(a, b, m2i, m2q):
+        return _folded_frontend_step(a, b, cz._H1t, cz._H1b, rotC, rotS,
+                                     ph1, ph0, m2i, m2q, n_mid)
+
+    args_c = (cI, cQ, cz._m2I, cz._m2Q)
+    dt_c, _ = timed(chan, args_c)
+    fl_c, by_c = cost(chan, args_c)
+    rows.append((f"channelizer ({K} dials, fused)", dt_c, fl_c, by_c))
+
     print(f"{'phase':34s} {'ms':>8} {'GFLOP':>8} {'GB':>7} "
           f"{'TFLOP/s':>8} {'GB/s':>7} {'AI':>6} {'%peakF':>7} "
           f"{'%peakB':>7}")
@@ -150,6 +179,9 @@ def main() -> None:
     fe_msps = C * n_frames * R1 / dt_f / 1e6
     print(f"front-end sustained: {fe_msps:,.0f} Msps "
           f"({fe_msps / 2.4:,.0f} realtime channels)")
+    cz_caps = n_mid * R1 / dt_c / 2.4e6
+    print(f"channelizer sustained: {cz_caps:,.1f} realtime captures x "
+          f"{K} dials = {K * cz_caps:,.0f} decoded dials/chip")
 
 
 if __name__ == "__main__":
