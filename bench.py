@@ -70,9 +70,14 @@ def main() -> None:
         decode_channels,
     )
 
-    B = 512   # windows per pipeline batch (two batches in flight)
-    DB = 128  # per-device-call sub-batch (fewer tunnel round-trips;
-    # coarse-grid intermediates still fit HBM at 128)
+    # bench shapes; env overrides exist so the FULL flow can be
+    # integration-checked on CPU at tiny sizes (tests/CI) without
+    # touching the production TPU configuration
+    B = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_B", 512))
+    DB = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_DB", 128))
+    # B: windows per pipeline batch (two batches in flight); DB:
+    # per-device-call sub-batch (fewer tunnel round-trips; coarse-grid
+    # intermediates still fit HBM at 128)
     wi, wq = make_batch(B)
     options = DecoderOptions()
 
@@ -107,7 +112,8 @@ def main() -> None:
     from rtlsdr_wsprd_tpu.frontend.decimate import decimate_stage1_batched
     from rtlsdr_wsprd_tpu.frontend.filters import R1, STAGE1_TAPS
 
-    C = 128             # channels per ingest call
+    C = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_C", 128))
+    # C: channels per ingest call
     n_frames = 9_375    # 0.025 s of 30 ksps output per channel per call
     L = n_frames * R1 + STAGE1_TAPS - R1
     rng = np.random.default_rng(3)
