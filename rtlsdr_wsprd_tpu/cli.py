@@ -122,6 +122,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source", default="rtl_tcp",
                    choices=("rtl_tcp", "synth", "synth-raw"),
                    help="live sample source (default rtl_tcp; -i HOST:PORT)")
+    p.add_argument("--reconnect", action="store_true",
+                   help="ride out rtl_tcp server restarts: redial + "
+                        "re-tune instead of ending the stream")
     p.add_argument("--no-align", action="store_true",
                    help="backpressure mode: decode windows as fast as the "
                         "source supplies them (file/synth replay)")
@@ -257,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
             host, int(port), dialfreq_hz=dialfreq, shift_hz=args.shift,
             upconverter_hz=rx.upconverter, gain_tenths_db=rx.gain,
             autogain=rx.autogain, ppm=rx.ppm,
-            directsampling=directsampling)
+            directsampling=directsampling, reconnect=args.reconnect)
     elif args.source == "synth":
         source = SyntheticBasebandSource()
     else:

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "single --endpoint capture (repeatable; the "
                         "2.4 Msps span covers endpoint dial -593.5 kHz "
                         "to +1796.5 kHz)")
+    p.add_argument("--reconnect", action="store_true",
+                   help="ride out rtl_tcp server restarts: redial + "
+                        "re-tune instead of ending the stream")
     p.add_argument("--no-align", dest="noalign", action="store_true",
                    help="skip the 2-minute wall-clock capture alignment "
                         "(replay/faster-than-realtime rtl_tcp servers)")
@@ -115,7 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             endpoints.append((host, int(port), dialfreq, dict(
                 gain_tenths_db=max(0, min(49, args.gain)) * 10,
                 autogain=args.autogain, ppm=args.ppm,
-                directsampling=directsampling)))
+                directsampling=directsampling,
+                reconnect=args.reconnect)))
         bank = RtlTcpBank(endpoints)
 
     channelize = None

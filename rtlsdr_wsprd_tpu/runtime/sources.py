@@ -27,6 +27,7 @@ import collections
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 
@@ -164,14 +165,56 @@ class RtlTcpConnection:
     consumer falls behind ``max_buffer_bytes`` the oldest bytes are
     dropped in whole IQ pairs (``dropped_bytes`` counts them, the
     analog of USB overflow on the reference's dongle).
+
+    ``reconnect``: ride out server restarts — on stream loss the RX
+    thread redials and replays the full tuning burst (with
+    ``reconnect_backoff_s`` between attempts, up to
+    ``max_reconnects``); samples lost during the outage are simply
+    missing from the ring (``reconnects`` counts the events). The
+    reference exits on device loss (rtlsdr_wsprd.c:247-251); a
+    long-running many-channel daemon prefers to keep the other
+    channels flowing.
     """
 
     def __init__(self, host: str, port: int, dialfreq_hz: int,
                  shift_hz: int = 0, upconverter_hz: int = 0,
                  gain_tenths_db: int = 290, autogain: bool = False,
                  ppm: int = 0, directsampling: int = 0,
-                 max_buffer_bytes: int = 256 << 20):
-        self._sock = socket.create_connection((host, port), timeout=10.0)
+                 max_buffer_bytes: int = 256 << 20,
+                 reconnect: bool = False,
+                 reconnect_backoff_s: float = 5.0,
+                 max_reconnects: int = 0):
+        self._addr = (host, port)
+        self._tuning = (dialfreq_hz, shift_hz, upconverter_hz,
+                        gain_tenths_db, autogain, ppm, directsampling)
+        self._reconnect = reconnect
+        self._backoff = reconnect_backoff_s
+        self._max_reconnects = max_reconnects  # 0 = unlimited
+        self.reconnects = 0
+        self._closed = False
+        self._connect()
+
+        # RX thread state: a deque of byte chunks + condition variable
+        # (the reference's cond-var handshake, rtlsdr_wsprd.c:55-66)
+        self._max_buffer = max_buffer_bytes
+        self._chunks: collections.deque[bytes] = collections.deque()
+        self._buffered = 0
+        self.dropped_bytes = 0
+        self._eof = False
+        self._cv = threading.Condition()
+        self._carry = b""  # odd-size chunk remainder, keeps IQ pairing
+        self._pi = np.zeros(0, np.uint8)
+        self._pq = np.zeros(0, np.uint8)
+        self._rx = threading.Thread(target=self._rx_loop, daemon=True,
+                                    name="rtltcp-rx")
+        self._rx.start()
+
+    def _connect(self) -> None:
+        """Dial the server, check the header, send the full reference
+        tuning burst (rtlsdr_wsprd.c:1044-1124)."""
+        (dialfreq_hz, shift_hz, upconverter_hz, gain_tenths_db,
+         autogain, ppm, directsampling) = self._tuning
+        self._sock = socket.create_connection(self._addr, timeout=10.0)
         hdr = self._recv_exact(12)
         if hdr[:4] != b"RTL0":
             raise IOError(f"not an rtl_tcp server (header {hdr[:4]!r})")
@@ -191,20 +234,28 @@ class RtlTcpConnection:
             self._cmd(_CMD_SET_GAIN, gain_tenths_db)
         self._cmd(_CMD_SET_FREQ, center)
 
-        # RX thread state: a deque of byte chunks + condition variable
-        # (the reference's cond-var handshake, rtlsdr_wsprd.c:55-66)
-        self._max_buffer = max_buffer_bytes
-        self._chunks: collections.deque[bytes] = collections.deque()
-        self._buffered = 0
-        self.dropped_bytes = 0
-        self._eof = False
-        self._cv = threading.Condition()
-        self._carry = b""  # odd-size chunk remainder, keeps IQ pairing
-        self._pi = np.zeros(0, np.uint8)
-        self._pq = np.zeros(0, np.uint8)
-        self._rx = threading.Thread(target=self._rx_loop, daemon=True,
-                                    name="rtltcp-rx")
-        self._rx.start()
+    def _try_reconnect(self) -> bool:
+        """Redial after stream loss; True when a new stream is up.
+        ``max_reconnects`` bounds dial attempts PER OUTAGE (0 = keep
+        trying forever)."""
+        attempts = 0
+        while not self._closed and (self._max_reconnects == 0
+                                    or attempts < self._max_reconnects):
+            attempts += 1
+            time.sleep(self._backoff)
+            if self._closed:
+                return False
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            try:
+                self._connect()
+            except OSError:
+                continue
+            self.reconnects += 1
+            return True
+        return False
 
     def _cmd(self, cmd: int, arg: int) -> None:
         self._sock.sendall(struct.pack(">BI", cmd, arg & 0xFFFFFFFF))
@@ -234,13 +285,20 @@ class RtlTcpConnection:
                 b = self._sock.recv(262144)
             except OSError:
                 b = b""
-            eof = not b
+            lost = not b
             if tail:
                 b = tail + b
                 tail = b""
             if len(b) & 1:
                 tail = b[-1:]
                 b = b[:-1]
+            eof = lost
+            if lost and self._reconnect and not self._closed:
+                # server restart: redial + re-tune; the odd tail (if
+                # any) belongs to the dead stream — drop it so the new
+                # stream starts on an I/Q pair boundary
+                tail = b""
+                eof = not self._try_reconnect()
             with self._cv:
                 if b:
                     self._chunks.append(b)
@@ -311,6 +369,7 @@ class RtlTcpConnection:
         self._pq = np.zeros(0, np.uint8)
 
     def close(self) -> None:
+        self._closed = True  # stop any reconnect attempts first
         try:
             self._sock.shutdown(socket.SHUT_RDWR)
         except OSError:
@@ -341,12 +400,12 @@ class RtlTcpSource(Source):
                  ppm: int = 0, directsampling: int = 0,
                  use_pallas: bool = False,
                  max_buffer_bytes: int = 256 << 20,
-                 frontend: str = "auto"):
+                 frontend: str = "auto", reconnect: bool = False):
         self._conn = RtlTcpConnection(
             host, port, dialfreq_hz, shift_hz=shift_hz,
             upconverter_hz=upconverter_hz, gain_tenths_db=gain_tenths_db,
             autogain=autogain, ppm=ppm, directsampling=directsampling,
-            max_buffer_bytes=max_buffer_bytes)
+            max_buffer_bytes=max_buffer_bytes, reconnect=reconnect)
         from ..frontend.host_decimate import resolve_placement
 
         self.frontend_placement = resolve_placement(frontend)

@@ -472,3 +472,59 @@ def test_rtltcp_source_host_frontend_matches_device():
     scale = np.abs(dI).max()
     np.testing.assert_allclose(hI, dI, atol=2e-4 * scale)
     np.testing.assert_allclose(hQ, dQ, atol=2e-4 * scale)
+
+
+def test_rtltcp_reconnect_rides_out_server_restart():
+    """reconnect=True: on stream loss the RX thread redials, replays
+    the full tuning burst, and keeps streaming — the long-running
+    daemon survives rtl_tcp server restarts (the reference exits on
+    device loss, rtlsdr_wsprd.c:247-251)."""
+    import socket as socket_mod
+    import struct
+    import threading
+
+    from rtlsdr_wsprd_tpu.runtime.sources import RtlTcpConnection
+
+    payloads = [_tone_payload(62.5, seconds=0.5),
+                _tone_payload(62.5, seconds=0.5)]
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    cmds = [[], []]
+
+    def serve():
+        for k, payload in enumerate(payloads):
+            conn, _ = srv.accept()
+            conn.settimeout(20.0)
+            conn.sendall(b"RTL0" + bytes(8))
+            buf = b""
+            while len(buf) < 20:
+                buf += conn.recv(4096)
+            for j in range(len(buf) // 5):
+                cmds[k].append(struct.unpack(">BI", buf[5 * j:5 * j + 5]))
+            conn.sendall(payload)
+            conn.shutdown(socket_mod.SHUT_WR)
+            try:
+                while conn.recv(4096):
+                    pass
+            except OSError:
+                pass
+            conn.close()
+        srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    c = RtlTcpConnection("127.0.0.1", port, 14_095_600, reconnect=True,
+                         reconnect_backoff_s=0.1, max_reconnects=3)
+    total = sum(len(p) for p in payloads) // 2
+    pi, pq = c.read_pairs(total)  # EOF after the retry budget expires
+    c.close()
+
+    assert pi.shape[0] == total  # nothing lost across the restart
+    assert c.reconnects == 1
+    # the tuning burst was replayed on the SECOND connection too
+    for k in range(2):
+        d = dict(cmds[k])
+        assert d[0x02] == 2_400_000
+        assert d[0x01] == 14_095_600 + 600_000 + 1_500
