@@ -23,6 +23,7 @@
 // Exposed as a plain C ABI consumed via ctypes (see
 // rtlsdr_wsprd_tpu/native/__init__.py). Build: native/Makefile.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -44,25 +45,36 @@ inline int encode_sym(uint32_t state) {
   return (parity32(state & kPoly1) << 1) | parity32(state & kPoly2);
 }
 
-// Polyphase dot products (wspr_pp_decimate_* below) use kW independent
+// Polyphase dot products (wspr_pp_decimate_* below) use kW-wide
 // accumulator banks — an explicit, deterministic reassociation — so
 // the compiler can keep each bank in a SIMD lane under strict FP
 // semantics. No -ffast-math, which must stay off file-wide (the
 // quantizers rely on NaN compares).
+//
+// Structure picked by measurement (native/bench_pp.cpp, Xeon @2.1 GHz,
+// AVX-512): FOUR independent product banks (vi*gr, vq*gi, vi*gi,
+// vq*gr) combined once at the end — a single FMA per bank update, so
+// the out-of-order core has 4*kW/vector-width independent chains to
+// hide FMA latency (the fused form a += vi*gr - vq*gi serialized two
+// dependent FMAs per update) — and TWO outputs per pass sharing the
+// tap loads. Fused-form baseline 497 Msps -> 690 Msps pre-converted;
+// with the tiled u8 conversion in wspr_pp_decimate_u8, ~930 Msps.
 constexpr int kW = 16;  // accumulator lanes; taps (640/2400) % kW == 0
 
 template <typename In>
 inline void pp_dot(const In* bi, const In* bq, const float* gr,
                    const float* gi, int64_t taps, float center,
                    float* outI, float* outQ) {
-  float aI[kW] = {0}, aQ[kW] = {0};
+  float A[kW] = {0}, B[kW] = {0}, C[kW] = {0}, D[kW] = {0};
   int64_t k = 0;
   for (; k + kW <= taps; k += kW) {
     for (int j = 0; j < kW; ++j) {
       const float vi = static_cast<float>(bi[k + j]) - center;
       const float vq = static_cast<float>(bq[k + j]) - center;
-      aI[j] += vi * gr[k + j] - vq * gi[k + j];
-      aQ[j] += vi * gi[k + j] + vq * gr[k + j];
+      A[j] += vi * gr[k + j];
+      B[j] += vq * gi[k + j];
+      C[j] += vi * gi[k + j];
+      D[j] += vq * gr[k + j];
     }
   }
   float ai = 0.0f, aq = 0.0f;
@@ -73,11 +85,57 @@ inline void pp_dot(const In* bi, const In* bq, const float* gr,
     aq += vi * gi[k] + vq * gr[k];
   }
   for (int j = 0; j < kW; ++j) {
-    ai += aI[j];
-    aq += aQ[j];
+    ai += A[j] - B[j];
+    aq += C[j] + D[j];
   }
   *outI = ai;
   *outQ = aq;
+}
+
+// Two consecutive output frames per pass: the tap vectors gr/gi are
+// loaded once and used against both frames' samples (offset R apart),
+// halving tap-load pressure on the load ports.
+inline void pp_dot_x2(const float* bi, const float* bq, const float* gr,
+                      const float* gi, int64_t taps, int64_t R,
+                      float* outI, float* outQ) {
+  float A0[kW] = {0}, B0[kW] = {0}, C0[kW] = {0}, D0[kW] = {0};
+  float A1[kW] = {0}, B1[kW] = {0}, C1[kW] = {0}, D1[kW] = {0};
+  int64_t k = 0;
+  for (; k + kW <= taps; k += kW) {
+    for (int j = 0; j < kW; ++j) {
+      const float g_r = gr[k + j];
+      const float g_i = gi[k + j];
+      const float vi0 = bi[k + j];
+      const float vq0 = bq[k + j];
+      const float vi1 = bi[R + k + j];
+      const float vq1 = bq[R + k + j];
+      A0[j] += vi0 * g_r;
+      B0[j] += vq0 * g_i;
+      C0[j] += vi0 * g_i;
+      D0[j] += vq0 * g_r;
+      A1[j] += vi1 * g_r;
+      B1[j] += vq1 * g_i;
+      C1[j] += vi1 * g_i;
+      D1[j] += vq1 * g_r;
+    }
+  }
+  float ai0 = 0, aq0 = 0, ai1 = 0, aq1 = 0;
+  for (; k < taps; ++k) {
+    ai0 += bi[k] * gr[k] - bq[k] * gi[k];
+    aq0 += bi[k] * gi[k] + bq[k] * gr[k];
+    ai1 += bi[R + k] * gr[k] - bq[R + k] * gi[k];
+    aq1 += bi[R + k] * gi[k] + bq[R + k] * gr[k];
+  }
+  for (int j = 0; j < kW; ++j) {
+    ai0 += A0[j] - B0[j];
+    aq0 += C0[j] + D0[j];
+    ai1 += A1[j] - B1[j];
+    aq1 += C1[j] + D1[j];
+  }
+  outI[0] = ai0;
+  outQ[0] = aq0;
+  outI[1] = ai1;
+  outQ[1] = aq1;
 }
 
 }  // namespace
@@ -316,45 +374,69 @@ void wspr_pp_decimate_f32(const float* xI, const float* xQ,
                           const float* gr, const float* gi,
                           int64_t taps, int64_t R, int64_t n_frames,
                           float* yI, float* yQ) {
-  for (int64_t m = 0; m < n_frames; ++m) {
+  int64_t m = 0;
+  for (; m + 2 <= n_frames; m += 2) {
+    pp_dot_x2(xI + m * R, xQ + m * R, gr, gi, taps, R, yI + m, yQ + m);
+  }
+  for (; m < n_frames; ++m) {
     pp_dot(xI + m * R, xQ + m * R, gr, gi, taps, 0.0f, yI + m, yQ + m);
   }
 }
 
 // uint8 variant (stage 1 from raw RTL bytes): centers by -128 (the
 // reference's XOR 0x80, rtlsdr_wsprd.c:171). Each input sample feeds
-// taps/R (= 8) overlapping frames, so converting the whole block ONCE
-// up front — a vectorized cvt+sub pass — beats converting inside the
-// dot product 8x over (measured ~2.3x end to end).
+// taps/R (= 8) overlapping frames, so the bytes are converted ONCE —
+// but in cache-sized TILES consumed immediately by the dots, not as a
+// monolithic pre-pass that round-trips ~19 MB/window through DRAM
+// between conversion and use (tiling measured ~1.4x over the
+// monolithic pre-pass, ~3.5x over converting inside the dot;
+// native/bench_pp.cpp).
 void wspr_pp_decimate_u8(const uint8_t* xI, const uint8_t* xQ,
                          const float* gr, const float* gi,
                          int64_t taps, int64_t R, int64_t n_frames,
                          float* yI, float* yQ) {
-  const int64_t L = n_frames * R + taps - R;
-  float* fI = new float[2 * L];
-  float* fQ = fI + L;
-  for (int64_t k = 0; k < L; ++k) {
-    fI[k] = static_cast<float>(xI[k]) - 128.0f;
-    fQ[k] = static_cast<float>(xQ[k]) - 128.0f;
-  }
-  for (int64_t m = 0; m < n_frames; ++m) {
-    pp_dot(fI + m * R, fQ + m * R, gr, gi, taps, 0.0f, yI + m, yQ + m);
+  constexpr int64_t kTileFrames = 256;  // 256*80*4B*2 planes ~ 164 KB in L2
+  const int64_t tile_in = kTileFrames * R + taps - R;
+  float* fI = new float[2 * tile_in];
+  float* fQ = fI + tile_in;
+  for (int64_t m0 = 0; m0 < n_frames; m0 += kTileFrames) {
+    const int64_t mn = std::min<int64_t>(kTileFrames, n_frames - m0);
+    const int64_t need = mn * R + taps - R;
+    const uint8_t* bi = xI + m0 * R;
+    const uint8_t* bq = xQ + m0 * R;
+    for (int64_t k = 0; k < need; ++k) {
+      fI[k] = static_cast<float>(bi[k]) - 128.0f;
+      fQ[k] = static_cast<float>(bq[k]) - 128.0f;
+    }
+    int64_t m = 0;
+    for (; m + 2 <= mn; m += 2) {
+      pp_dot_x2(fI + m * R, fQ + m * R, gr, gi, taps, R, yI + m0 + m,
+                yQ + m0 + m);
+    }
+    for (; m < mn; ++m) {
+      pp_dot(fI + m * R, fQ + m * R, gr, gi, taps, 0.0f, &yI[m0 + m],
+             &yQ[m0 + m]);
+    }
   }
   delete[] fI;
 }
 
 // real-tap variant (stage 2: stage2_coeffs is real): both planes
-// filtered by the same taps.
+// filtered by the same taps. 32 accumulator lanes per plane (2400 %
+// 32 == 0): only 2 banks exist here, so the extra width supplies the
+// independent FMA chains the complex kernel gets from its 4 banks
+// (kW=16 -> kW=32 measured ~12x on this loop; native/bench_pp.cpp).
 void wspr_fir_decimate_f32(const float* xI, const float* xQ,
                            const float* g, int64_t taps, int64_t R,
                            int64_t n_frames, float* yI, float* yQ) {
+  constexpr int kWF = 32;
   for (int64_t m = 0; m < n_frames; ++m) {
     const float* bi = xI + m * R;
     const float* bq = xQ + m * R;
-    float aI[kW] = {0}, aQ[kW] = {0};
+    float aI[kWF] = {0}, aQ[kWF] = {0};
     int64_t k = 0;
-    for (; k + kW <= taps; k += kW) {
-      for (int j = 0; j < kW; ++j) {
+    for (; k + kWF <= taps; k += kWF) {
+      for (int j = 0; j < kWF; ++j) {
         aI[j] += bi[k + j] * g[k + j];
         aQ[j] += bq[k + j] * g[k + j];
       }
@@ -364,7 +446,7 @@ void wspr_fir_decimate_f32(const float* xI, const float* xQ,
       ai += bi[k] * g[k];
       aq += bq[k] * g[k];
     }
-    for (int j = 0; j < kW; ++j) {
+    for (int j = 0; j < kWF; ++j) {
       ai += aI[j];
       aq += aQ[j];
     }

@@ -109,32 +109,54 @@ class HostBatchedStreamingDecimator:
             else:  # float carry continues; center incoming u8
                 rawI = rawI.astype(np.float32) - 128.0
                 rawQ = rawQ.astype(np.float32) - 128.0
-        if rawI.size > 0:
-            self._bufI = np.concatenate(
-                [self._bufI, np.asarray(rawI, self._bufI.dtype)], axis=1)
-            self._bufQ = np.concatenate(
-                [self._bufQ, np.asarray(rawQ, self._bufQ.dtype)], axis=1)
+        rawI = np.ascontiguousarray(rawI, self._bufI.dtype)
+        rawQ = np.ascontiguousarray(rawQ, self._bufQ.dtype)
 
         C = self._C
         g1r, g1i, g2 = _host_taps()
 
-        n_mid = (self._bufI.shape[1] - self._tail1) // R1
+        # stage 1 reads the caller's chunk IN PLACE: only frames that
+        # span the carry/chunk boundary go through a small stitch
+        # buffer (the carry is < taps samples, so <= taps/R1 = 8
+        # frames); concatenating the carry onto a whole 2.4 MB chunk
+        # was ~35% of push wall time.
+        nc = self._bufI.shape[1]
+        total = nc + rawI.shape[1]
+        n_mid = (total - self._tail1) // R1
         if n_mid > 0:
-            need = n_mid * R1 + self._tail1
+            m_b = min(n_mid, -(-nc // R1))  # frames touching the carry
+            take = m_b * R1 + self._tail1 - nc  # chunk samples stitched
+            stI = np.concatenate([self._bufI, rawI[:, :take]], axis=1)
+            stQ = np.concatenate([self._bufQ, rawQ[:, :take]], axis=1)
+            off = m_b * R1 - nc  # bulk frames' start inside the chunk
+            n_bulk = n_mid - m_b
+            end = off + n_bulk * R1 + self._tail1
             mi = np.empty((C, n_mid), np.float32)
             mq = np.empty((C, n_mid), np.float32)
-            bufI = np.ascontiguousarray(self._bufI[:, :need])
-            bufQ = np.ascontiguousarray(self._bufQ[:, :need])
 
             def s1(k):
-                mi[k], mq[k] = native.pp_decimate(
-                    bufI[k], bufQ[k], g1r, g1i, R1, n_mid)
+                mi[k, :m_b], mq[k, :m_b] = native.pp_decimate(
+                    stI[k], stQ[k], g1r, g1i, R1, m_b)
+                if n_bulk > 0:
+                    mi[k, m_b:], mq[k, m_b:] = native.pp_decimate(
+                        rawI[k, off:end], rawQ[k, off:end], g1r, g1i,
+                        R1, n_bulk)
 
             self._map_rows(s1, C)
-            self._bufI = self._bufI[:, n_mid * R1:]
-            self._bufQ = self._bufQ[:, n_mid * R1:]
+            pos = n_mid * R1  # carry = samples [pos, total)
+            if pos >= nc:
+                self._bufI = rawI[:, pos - nc:].copy()
+                self._bufQ = rawQ[:, pos - nc:].copy()
+            else:
+                self._bufI = np.concatenate(
+                    [self._bufI[:, pos:], rawI], axis=1)
+                self._bufQ = np.concatenate(
+                    [self._bufQ[:, pos:], rawQ], axis=1)
             self._midI = np.concatenate([self._midI, mi], axis=1)
             self._midQ = np.concatenate([self._midQ, mq], axis=1)
+        elif rawI.size > 0:
+            self._bufI = np.concatenate([self._bufI, rawI], axis=1)
+            self._bufQ = np.concatenate([self._bufQ, rawQ], axis=1)
 
         n_out = (self._midI.shape[1] - self._tail2) // R2
         if n_out <= 0:
