@@ -188,7 +188,11 @@ class ChannelizingStreamingDecimator:
         self._phase = np.mod(self._phase + self._theta * n_raw,
                              2.0 * np.pi)
 
-    def _append_raw(self, rawI, rawQ) -> None:
+    def _normalize_chunk(self, rawI, rawQ):
+        """Prime the carry on first use and reconcile chunk/carry
+        dtypes (u8 carry upconverts once to float; float carry centers
+        incoming u8). Returns the chunk as contiguous arrays of the
+        carry's dtype WITHOUT appending it."""
         in_dtype = (np.uint8 if rawI.dtype == np.uint8 else np.float32)
         if self._bufI is None:
             fill = 128 if in_dtype == np.uint8 else 0
@@ -201,11 +205,14 @@ class ChannelizingStreamingDecimator:
             else:
                 rawI = rawI.astype(np.float32) - 128.0
                 rawQ = rawQ.astype(np.float32) - 128.0
+        return (np.ascontiguousarray(rawI, self._bufI.dtype),
+                np.ascontiguousarray(rawQ, self._bufQ.dtype))
+
+    def _append_raw(self, rawI, rawQ) -> None:
+        rawI, rawQ = self._normalize_chunk(rawI, rawQ)
         if rawI.size > 0:
-            self._bufI = np.concatenate(
-                [self._bufI, np.asarray(rawI, self._bufI.dtype)])
-            self._bufQ = np.concatenate(
-                [self._bufQ, np.asarray(rawQ, self._bufQ.dtype)])
+            self._bufI = np.concatenate([self._bufI, rawI])
+            self._bufQ = np.concatenate([self._bufQ, rawQ])
 
     @staticmethod
     def _flat(raw: np.ndarray) -> np.ndarray:
@@ -306,17 +313,21 @@ class ChannelizingStreamingDecimator:
                 for m in range(n_mid):
                     acc[m] = np.dot(gk[k], z[m * R1:m * R1 + STAGE1_TAPS])
                 mi[k], mq[k] = np.real(acc), np.imag(acc)
+        ri, rq = self._rotate_mid(mi, mq, n_mid)
+        self._bufI = self._bufI[n_mid * R1:]
+        self._bufQ = self._bufQ[n_mid * R1:]
+        self._advance_phase(n_mid * R1)
+        return ri, rq
+
+    def _rotate_mid(self, mi, mq, n_mid: int):
+        """Apply the residual per-frame rotation e^{j(phi+theta*R1*m)}
+        at the current carried phase (does NOT advance it)."""
         rotC, rotS = self._rot_tables(n_mid, device=False)
         cph = np.cos(self._phase).astype(np.float32)[:, None]
         sph = np.sin(self._phase).astype(np.float32)[:, None]
         c = cph * rotC - sph * rotS
         s = cph * rotS + sph * rotC
-        ri = mi * c - mq * s
-        rq = mi * s + mq * c
-        self._bufI = self._bufI[n_mid * R1:]
-        self._bufQ = self._bufQ[n_mid * R1:]
-        self._advance_phase(n_mid * R1)
-        return ri, rq
+        return mi * c - mq * s, mi * s + mq * c
 
     def _map_dials(self, fn, n: int):
         if n == 1 or self._threads <= 1:
@@ -327,13 +338,52 @@ class ChannelizingStreamingDecimator:
                                                     n)) as ex:
                 list(ex.map(fn, range(n)))
 
-    def _push_host(self):
+    def _push_host(self, rawI, rawQ):
+        """Host steady-state step: stage 1 reads the caller's chunk in
+        place — only frames spanning the carry/chunk boundary (the
+        carry is < taps samples, so <= taps/R1 = 8 of them) go through
+        a small stitch buffer, the same structure as
+        HostBatchedStreamingDecimator.push."""
         K = self._K
-        n_mid = (self._bufI.shape[0] - self._tail1) // R1
+        rawI, rawQ = self._normalize_chunk(rawI, rawQ)
+        nc = self._bufI.shape[0]
+        total = nc + rawI.shape[0]
+        n_mid = (total - self._tail1) // R1
         if n_mid > 0:
-            ri, rq = self._stage1_host_block(n_mid)
+            m_b = min(n_mid, -(-nc // R1))  # frames touching the carry
+            take = m_b * R1 + self._tail1 - nc
+            stI = np.concatenate([self._bufI, rawI[:take]])
+            stQ = np.concatenate([self._bufQ, rawQ[:take]])
+            off = m_b * R1 - nc
+            n_bulk = n_mid - m_b
+            end = off + n_bulk * R1 + self._tail1
+            mi = np.empty((K, n_mid), np.float32)
+            mq = np.empty((K, n_mid), np.float32)
+            g1r, g1i = self._g1r, self._g1i
+
+            def s1(k):
+                mi[k, :m_b], mq[k, :m_b] = native.pp_decimate(
+                    stI, stQ, g1r[k], g1i[k], R1, m_b)
+                if n_bulk > 0:
+                    mi[k, m_b:], mq[k, m_b:] = native.pp_decimate(
+                        rawI[off:end], rawQ[off:end], g1r[k], g1i[k],
+                        R1, n_bulk)
+
+            self._map_dials(s1, K)
+            ri, rq = self._rotate_mid(mi, mq, n_mid)
+            pos = n_mid * R1
+            if pos >= nc:
+                self._bufI = rawI[pos - nc:].copy()
+                self._bufQ = rawQ[pos - nc:].copy()
+            else:
+                self._bufI = np.concatenate([self._bufI[pos:], rawI])
+                self._bufQ = np.concatenate([self._bufQ[pos:], rawQ])
+            self._advance_phase(pos)
             self._m2I_np = np.concatenate([self._m2I_np, ri], axis=1)
             self._m2Q_np = np.concatenate([self._m2Q_np, rq], axis=1)
+        elif rawI.size > 0:
+            self._bufI = np.concatenate([self._bufI, rawI])
+            self._bufQ = np.concatenate([self._bufQ, rawQ])
         n_out = (self._m2I_np.shape[1] - self._tail2) // R2
         if n_out <= 0:
             return (np.zeros((K, 0), np.float32),
@@ -359,9 +409,9 @@ class ChannelizingStreamingDecimator:
     def push(self, rawI: np.ndarray, rawQ: np.ndarray,
              exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
         rawI, rawQ = self._flat(rawI), self._flat(rawQ)
-        self._append_raw(rawI, rawQ)
         if self.placement == "host":
-            return self._push_host()
+            return self._push_host(rawI, rawQ)
+        self._append_raw(rawI, rawQ)
         return self._push_device(exact)
 
     def flush(self) -> tuple[np.ndarray, np.ndarray]:

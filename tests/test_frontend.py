@@ -445,8 +445,11 @@ def test_channelizer_host_matches_device():
     if not native.HAS_DECIMATE:
         pytest.skip("native hostdsp polyphase unavailable")
     rng = np.random.default_rng(37)
+    # sizes mix large odd-boundary chunks with tiny ones that produce
+    # zero stage-1 frames (carry-append branch) or only carry-straddling
+    # frames, pinning the in-place chunk-read stitch logic
     chunks = [rng.integers(0, 256, (1, n)).astype(np.uint8)
-              for n in (900_000, 700_123, 800_000)]
+              for n in (900_000, 137, 700_123, 63, 800_000)]
     chunksQ = [rng.integers(0, 256, c.shape).astype(np.uint8)
                for c in chunks]
 
