@@ -659,6 +659,22 @@ def _dequant_i8(xi8: jnp.ndarray) -> jnp.ndarray:
     return xi8.astype(jnp.float32) * (1.0 / _I8_SCALE)
 
 
+def _fetch_np(*refs):
+    """Fetch device arrays to host with the copies overlapped.
+
+    Serial ``np.asarray`` pays one device->host round trip per array;
+    on RPC-tunneled backends (~26 ms RTT measured) that latency rivals
+    the staged path's compute when a pass fetches several small
+    results. Putting every transfer in flight first collapses N round
+    trips into roughly one."""
+    for r in refs:
+        try:
+            r.copy_to_host_async()
+        except Exception:  # backend without async copy: plain fetch
+            break
+    return tuple(np.asarray(r) for r in refs)
+
+
 class _DeviceWindows:
     """Device-resident padded window planes with crash recovery.
 
@@ -782,16 +798,18 @@ def _staged_pass(
                     sig_i, sig_q, jnp.asarray(rows[c0:c0 + device_batch]),
                     md, fmin=kw["fmin"], fmax=kw["fmax"]))
                     for c0 in range(0, n_act_pad, device_batch)]
-                for c0, ref in refs:
-                    sA[rows[c0:c0 + device_batch]] = np.asarray(ref)
+                vals = _fetch_np(*(r for _, r in refs))
+                for (c0, _), v in zip(refs, vals):
+                    sA[rows[c0:c0 + device_batch]] = v
             else:
                 refs = [(c0, _stage_a_packed(
                     sig_i[c0:c0 + device_batch],
                     sig_q[c0:c0 + device_batch],
                     md, fmin=kw["fmin"], fmax=kw["fmax"]))
                     for c0 in range(0, n_pad, device_batch)]
-                for c0, ref in refs:
-                    sA[c0:c0 + device_batch] = np.asarray(ref)
+                vals = _fetch_np(*(r for _, r in refs))
+                for (c0, _), v in zip(refs, vals):
+                    sA[c0:c0 + device_batch] = v
             break
         except jax.errors.JaxRuntimeError as e:
             _LOG.warning("stage A crashed (attempt %d): %s",
@@ -856,15 +874,17 @@ def _staged_pass(
                     sig_i, sig_q, jnp.asarray(lw), jnp.asarray(lf),
                     jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
                     **b_kw)
-                lane_f32, gate = (np.asarray(x) for x in pk[:2])
                 deint_ref = pk[4]
+                if host_fec:
+                    lane_f32, gate, pre_j, pre_syms = _fetch_np(*pk[:4])
+                else:
+                    lane_f32, gate = _fetch_np(*pk[:2])
                 _LOG.debug("stage B fetch done (%d gate-passing attempts)",
                            int(gate.sum()))
                 if host_fec:
                     # host FEC reads the per-lane attempt prefetch and
                     # pulls rare extra columns on demand; the dense
                     # (J, G, 162) block never crosses the link
-                    pre_j, pre_syms = (np.asarray(x) for x in pk[2:4])
 
                     def fetch_rest(lanes, _ref=deint_ref):
                         L = len(lanes)
@@ -1130,8 +1150,12 @@ def decode_channels_pipelined(
     fec: str = "auto",
     on_error=None,
 ):
-    """Stream-decode an iterable of (i_windows, q_windows) batches with
-    a ``depth``-deep pipeline; yields each batch's spot lists in order.
+    """Stream-decode an iterable of window batches with a ``depth``-deep
+    pipeline; yields each batch's spot lists in order. Each item is
+    either an ``(i_windows, q_windows)`` float32 pair (quantized and
+    uploaded here) or a ``prepare_windows()`` handle whose upload is
+    already in flight (device-resident feed, e.g. windows produced by
+    the on-device front end).
 
     Batch k+1's host work (sample quantization, host FEC, spot
     assembly — GIL-releasing native code or cheap Python) overlaps
@@ -1169,11 +1193,15 @@ def decode_channels_pipelined(
 
     with ThreadPoolExecutor(depth) as ex:
         futs = []
-        for wi, wq in batches:
-            n_ch = wi.shape[0]
-            w = prepare_windows(wi, wq, device_batch=device_batch,
-                                transfer_dtype=transfer_dtype,
-                                device=device)
+        for item in batches:
+            if isinstance(item, _DeviceWindows):
+                w, n_ch = item, item.B
+            else:
+                wi, wq = item
+                n_ch = wi.shape[0]
+                w = prepare_windows(wi, wq, device_batch=device_batch,
+                                    transfer_dtype=transfer_dtype,
+                                    device=device)
             futs.append((ex.submit(decode_channels, None, None, options,
                                    ht, windows=w, fec=fec), n_ch))
             while len(futs) >= depth:

@@ -237,6 +237,27 @@ def test_decode_channels_pipelined_matches_sequential(batch_decode_env):
         assert got == expect
 
 
+def test_decode_channels_pipelined_accepts_prepared_handles(
+        batch_decode_env):
+    """Feeding prepare_windows() handles (device-resident windows, as
+    from the on-device front end or bench.py's chip-bound headline)
+    must decode identically to host-array feed."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_pipelined,
+        prepare_windows,
+    )
+
+    wi, wq, expect = batch_decode_env
+    handles = [prepare_windows(wi, wq, device_batch=3) for _ in range(2)]
+    out = list(decode_channels_pipelined(
+        iter(handles), DecoderOptions(quickmode=True), device_batch=3))
+    assert len(out) == 2
+    for spots in out:
+        got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in spots]
+        assert got == expect
+
+
 def test_device_windows_replay_reproduces_state(rng):
     """After invalidate() (simulated worker crash) the replay log must
     rebuild the exact post-subtraction device state."""

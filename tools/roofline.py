@@ -27,17 +27,23 @@ sys.path.insert(0, ".")
 from bench import make_batch  # noqa: E402
 
 
+def _sync(tree):
+    """Execution barrier via a SCALAR fetch: slice one element ON
+    DEVICE, then fetch it (axon's block_until_ready is a no-op, and
+    fetching a whole result array would time the RPC link, not the
+    kernel — observed 4x inflation on a degraded-tunnel day)."""
+    leaf = jax_leaf(tree)
+    float(np.asarray(leaf.ravel()[0]))
+
+
 def timed(fn, args, iters=5):
-    """Wall time per call with a scalar-fetch barrier (axon's
-    block_until_ready is a no-op)."""
+    """Wall time per call with a scalar-fetch barrier."""
     out = fn(*args)
-    leaf = jax_leaf(out)
-    float(np.asarray(leaf).ravel()[0])
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-        leaf = jax_leaf(out)
-        float(np.asarray(leaf).ravel()[0])
+        _sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
