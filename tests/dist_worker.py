@@ -14,6 +14,13 @@ Usage: python dist_worker.py <rank> <nprocs> <port>
 import os
 import sys
 
+# Launched as `python tests/dist_worker.py`, which puts tests/ (not the
+# repo root) on sys.path — bootstrap the package location so the test is
+# self-contained in a non-pip-installed checkout.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 rank, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 
 os.environ["JAX_PLATFORMS"] = "cpu"
