@@ -10,10 +10,19 @@ and the phasor factorizes:
       = E_cand[c,i,j] * E_TONE[j,t]
 
 where E_cand depends only on the candidate's (freq, drift) and E_TONE
-is a static (256, 4) matrix. The tone correlation then becomes a
-(C*162, 256) @ (256, 4) matmul — MXU work — and the lag/freq/jitter
-axis is a short lax.scan re-using E_cand. A frequency-offset factor
-E_freq[f,j] separates the same way for the mode-1 search.
+is a static (256, 4) matrix. The lag/jitter offset axis tensorizes
+too: because E_cand is a pure exponential in the sample index,
+``E_cand[c,i,u-o] = E_cand[c,i,u] * conj(E_cand)[c,i,o]`` — so the
+correlation at EVERY static offset o is one matmul
+
+    (C*162, 512) @ (512, n_offsets*4)
+
+against a static offset-shifted tone matrix, and the leftover
+unit-modulus phase ``conj(E_cand)[c,i,o]`` vanishes under the
+magnitude. One MXU dispatch replaces the reference's per-lag /
+per-jitter loop (and our former 33/43-step lax.scan). A
+frequency-offset factor E_freq[f,j] separates the same way for the
+mode-1 search.
 
 All complex arithmetic is PLANAR REAL (separate re/im float32 arrays):
 TPUs have no native complex type, so the correlations are explicit
@@ -27,14 +36,14 @@ full jitter schedule, wsprd/wsprd.c:739-766).
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DF, DT, NBITS, NSPERSYM, NSYM, SIGNAL_SAMPLES
+from ..config import DF, DT, NBITS, NSPERSYM, NSYM
 from ..utils.channel import PR3_VECTOR
 
 TWOPIDT = 2.0 * np.pi * DT
@@ -44,24 +53,19 @@ TWOPIDT = 2.0 * np.pi * DT
 # already truncates f32 operands to bfloat16 (verified), so the MXU
 # einsums here are bf16-operand either way; this knob additionally
 # casts the elementwise derotate/phasor operands.
-# RTLSDR_WSPRD_TPU_SYNC_BF16=1 measured: ~5% end-to-end throughput
-# gain, fixed-seed sensitivity-sweep decode counts IDENTICAL to
-# float32 at every SNR point (-28..-31 dB). Kept off by default to
-# preserve exact float32 elementwise semantics for parity tests.
-_BF16 = os.environ.get("RTLSDR_WSPRD_TPU_SYNC_BF16", "0") == "1"
-_CDT = jnp.bfloat16 if _BF16 else jnp.float32
-
-
-def _scan_unroll() -> int:
-    """Unroll factor for the lag/jitter scans. The steps are
-    independent (the scan is a map over offsets), so larger unrolls cut
-    tunnel while_loop round-trips (~1.5 ms each) and give XLA freedom
-    to co-schedule steps, at the cost of compile time. Tunable via
-    RTLSDR_WSPRD_TPU_SCAN_UNROLL."""
-    v = os.environ.get("RTLSDR_WSPRD_TPU_SCAN_UNROLL")
-    if v:
-        return int(v)
-    return 4 if jax.default_backend() == "tpu" else 1
+# bf16 measured: ~5% end-to-end throughput gain, fixed-seed
+# sensitivity-sweep decode counts IDENTICAL to float32 at every SNR
+# point (-28..-31 dB) — so bf16 IS the library default on TPU (what
+# bench.py measures is what ships). CPU keeps float32 so the exact
+# elementwise parity tests stay meaningful. Override either way with
+# RTLSDR_WSPRD_TPU_SYNC_BF16=0/1. Resolved lazily at first trace, not
+# import, so importing the package never initializes an XLA backend
+# (required by jax.distributed.initialize, see multichannel._BIG).
+def _cdt():
+    v = os.environ.get("RTLSDR_WSPRD_TPU_SYNC_BF16")
+    if v is not None:
+        return jnp.bfloat16 if v == "1" else jnp.float32
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 # E_TONE[j, t] = exp(-i * 2*pi*dt * (t-1.5)*DF * j): static tone phasors
 _j = np.arange(NSPERSYM, dtype=np.float64)
@@ -74,49 +78,39 @@ _PR3 = PR3_VECTOR.astype(bool)          # (162,)
 _PR3_SIGN = 2.0 * PR3_VECTOR.astype(np.float32) - 1.0
 
 
-def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray):
+def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray,
+                      ulen: int = NSPERSYM):
     """conj of the per-candidate base phasor, planar (re, im), each
-    (C, 162, 256) float32.
+    (C, 162, ulen) in the correlator compute dtype.
 
     fp_i = f0 + (drift/2) * (i - 81)/81 (wsprd/wsprd.c:156); phase
     accumulates as j * 2*pi*dt*fp_i within each symbol (phase resets at
-    symbol boundaries, wsprd/wsprd.c:174-188).
+    symbol boundaries, wsprd/wsprd.c:174-188). ``ulen=2*NSPERSYM``
+    extends the pure exponential over the double-length symbol frames
+    used by the offset-tensorized correlator (module docstring).
     """
+    cdt = _cdt()
     i = jnp.arange(NSYM, dtype=jnp.float32)
     fp = f0[:, None] + (drift[:, None] / 2.0) * (i[None, :] - NBITS) / NBITS  # (C,162)
     dphi = TWOPIDT * fp  # (C,162)
-    phase = dphi[:, :, None] * jnp.arange(NSPERSYM, dtype=jnp.float32)  # (C,162,256)
-    return (jnp.cos(phase).astype(_CDT),
-            (-jnp.sin(phase)).astype(_CDT))
-
-
-def _gather_symbols(sig_i: jnp.ndarray, sig_q: jnp.ndarray,
-                    shifts: jnp.ndarray):
-    """Windowed samples x[c, i, j] = sig[shift_c + 256*i + j], zero
-    outside (0, np) — note the reference's strict k > 0 bound
-    (wsprd/wsprd.c:199). Reference formulation (generic gather); the
-    hot paths use the slice-based window machinery below instead."""
-    k = (shifts[:, None, None]
-         + (jnp.arange(NSYM, dtype=jnp.int32) * NSPERSYM)[None, :, None]
-         + jnp.arange(NSPERSYM, dtype=jnp.int32)[None, None, :])  # (C,162,256)
-    ok = (k > 0) & (k < SIGNAL_SAMPLES)
-    kc = jnp.clip(k, 0, SIGNAL_SAMPLES - 1)
-    xr = jnp.where(ok, sig_i[kc], 0.0)
-    xi = jnp.where(ok, sig_q[kc], 0.0)
-    return xr, xi
+    phase = dphi[:, :, None] * jnp.arange(ulen, dtype=jnp.float32)  # (C,162,ulen)
+    return (jnp.cos(phase).astype(cdt),
+            (-jnp.sin(phase)).astype(cdt))
 
 
 # ---- slice-based candidate windows (the TPU-fast path) ---------------------
 #
 # Generic (C,162,256) gathers scalarize on TPU (~seconds per call).
 # Instead: one vmapped contiguous dynamic_slice pulls each candidate's
-# maximal window covering every lag/jitter offset, and each offset then
-# needs only a contiguous slice + reshape — gather-free, and XLA fuses
-# the slices straight into the correlator einsums.
+# maximal window covering every lag/jitter offset; a single reshape +
+# concat then yields double-length symbol frames (C, 162, 512) from
+# which the correlation at every offset is one matmul (module
+# docstring) — gather-free and scan-free.
 
 HALF_SPAN = 128                       # max |lag| (mode 0) and |jitter|
 NSIG = NSYM * NSPERSYM                # 41472
 WLEN = NSIG + 2 * HALF_SPAN           # per-candidate window length
+ULEN = 2 * NSPERSYM                   # double-length frame: all offsets
 _PAD = 2048                           # coarse shift range is [-1152, 2944]
 
 
@@ -144,14 +138,14 @@ def _candidate_windows(pi: jnp.ndarray, pq: jnp.ndarray,
     return jax.vmap(slice1)(starts)
 
 
-def _window_symbols(wr: jnp.ndarray, wi: jnp.ndarray, off: jnp.ndarray):
-    """(C, WLEN) windows at a SHARED relative offset ``off`` in
-    [0, 2*HALF_SPAN] -> (C, 162, 256) symbol frames (contiguous slice +
-    reshape)."""
-    C = wr.shape[0]
-    xr = jax.lax.dynamic_slice_in_dim(wr, off, NSIG, axis=1)
-    xi = jax.lax.dynamic_slice_in_dim(wi, off, NSIG, axis=1)
-    return (xr.reshape(C, NSYM, NSPERSYM), xi.reshape(C, NSYM, NSPERSYM))
+def _double_frames(w: jnp.ndarray) -> jnp.ndarray:
+    """(C, WLEN) windows -> (C, 162, 512) double-length symbol frames
+    D[c,i,u] = w[c, 256*i + u]: frame i plus frame i+1, covering every
+    offset in [0, 2*HALF_SPAN]. WLEN = 163*256 exactly, so this is a
+    reshape + one 50%-overlap concat (no gather)."""
+    C = w.shape[0]
+    f = w.reshape(C, NSYM + 1, NSPERSYM)
+    return jnp.concatenate([f[:, :NSYM], f[:, 1:]], axis=2)
 
 
 def _window_symbols_percand(wr: jnp.ndarray, wi: jnp.ndarray,
@@ -201,9 +195,43 @@ def _tone_mags(yr: jnp.ndarray, yi: jnp.ndarray,
 
 def _derotate(xr, xi, ecr, eci):
     """y = x * ec, planar (in the correlator compute dtype)."""
-    xr = xr.astype(_CDT)
-    xi = xi.astype(_CDT)
+    xr = xr.astype(ecr.dtype)
+    xi = xi.astype(ecr.dtype)
     return xr * ecr - xi * eci, xr * eci + xi * ecr
+
+
+@lru_cache(maxsize=None)
+def _offset_tone_matrix(offsets: tuple):
+    """Static planar (ULEN, L*4) matrices T[u, (l,t)] = E_TONE[u-o_l, t]
+    (zero outside [o_l, o_l+256)) for absolute offsets o_l in
+    [0, 2*HALF_SPAN]. Right operand of the offset-tensorized correlator
+    matmul (module docstring)."""
+    L = len(offsets)
+    tr = np.zeros((ULEN, L, 4), np.float32)
+    ti = np.zeros((ULEN, L, 4), np.float32)
+    for idx, o in enumerate(offsets):
+        tr[o:o + NSPERSYM, idx] = E_TONE_R
+        ti[o:o + NSPERSYM, idx] = E_TONE_I
+    return tr.reshape(ULEN, L * 4), ti.reshape(ULEN, L * 4)
+
+
+def _tone_mags_offsets(wr: jnp.ndarray, wi: jnp.ndarray,
+                       freq: jnp.ndarray, drift: jnp.ndarray,
+                       offsets: tuple) -> jnp.ndarray:
+    """Tone magnitudes at EVERY static window offset in one matmul
+    pair: (C, WLEN) windows -> (C, 162, L, 4). Offsets are absolute
+    (relative lag/jitter + HALF_SPAN)."""
+    cdt = _cdt()
+    dr = _double_frames(wr)
+    di = _double_frames(wi)
+    ecr, eci = _cand_phasor_conj(freq, drift, ulen=ULEN)  # (C,162,512)
+    yr, yi = _derotate(dr, di, ecr, eci)
+    tr_np, ti_np = _offset_tone_matrix(offsets)
+    tr = jnp.asarray(tr_np).astype(cdt)
+    ti = jnp.asarray(ti_np).astype(cdt)
+    p = _tone_mags(yr, yi, tr, ti)                        # (C,162,L*4)
+    C = p.shape[0]
+    return p.reshape(C, NSYM, len(offsets), 4)
 
 
 def _sync_from_powers(p: jnp.ndarray) -> jnp.ndarray:
@@ -230,23 +258,19 @@ def _fine_sync_core(
     lagstep: int,
 ) -> FineSync:
     """Shared mode-0/mode-1 body over already-built (C, WLEN) windows."""
-    ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
-    etr = jnp.asarray(E_TONE_R).astype(_CDT)
-    eti = jnp.asarray(E_TONE_I).astype(_CDT)
+    cdt = _cdt()
 
-    # ---- mode 0: lag search ----
-    rel_lags = jnp.arange(-128, 129, lagstep, dtype=jnp.int32)
-
-    def lag_step(_, rel):
-        xr, xi = _window_symbols(wr, wi, rel + HALF_SPAN)
-        yr, yi = _derotate(xr, xi, ecr, eci)
-        p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
-        return None, _sync_from_powers(p)
-
-    _, sync_l = jax.lax.scan(lag_step, None, rel_lags,
-                             unroll=_scan_unroll())  # (L, C)
+    # ---- mode 0: lag search — ONE matmul over all lags ----
+    rel_lags = np.arange(-128, 129, lagstep, dtype=np.int32)
+    offs = tuple(int(r) + HALF_SPAN for r in rel_lags)
+    p = _tone_mags_offsets(wr, wi, freq, drift, offs)   # (C,162,L,4)
+    sync_l = _sync_from_powers(jnp.moveaxis(p, 2, 0))   # (L, C)
     best_l = jnp.argmax(sync_l, axis=0)  # first max wins = C lag order
-    shift1 = shift + rel_lags[best_l]
+    shift1 = shift + jnp.asarray(rel_lags)[best_l]
+
+    ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
+    etr = jnp.asarray(E_TONE_R).astype(cdt)
+    eti = jnp.asarray(E_TONE_I).astype(cdt)
 
     # ---- mode 1: freq search at the best lag ----
     fstep = 0.1
@@ -260,8 +284,8 @@ def _fine_sync_core(
           - efi[:, :, None] * eti[:, None, :]).reshape(NSPERSYM, 20)
     ei = (efr[:, :, None] * eti[:, None, :]
           + efi[:, :, None] * etr[:, None, :]).reshape(NSPERSYM, 20)
-    er = er.astype(_CDT)
-    ei = ei.astype(_CDT)
+    er = er.astype(cdt)
+    ei = ei.astype(cdt)
 
     # shift1 - shift in [-128, 128] -> still inside the same windows
     xr, xi = _window_symbols_percand(wr, wi, shift1 - shift + HALF_SPAN)
@@ -338,35 +362,31 @@ def _soft_symbols_core(
     quickmode: bool,
     symfac: int,
 ) -> JitteredSymbols:
-    """Shared mode-2 body over already-built (C, WLEN) windows."""
-    ecr, eci = _cand_phasor_conj(freq, drift)
-    etr = jnp.asarray(E_TONE_R).astype(_CDT)
-    eti = jnp.asarray(E_TONE_I).astype(_CDT)
-    jit = jnp.asarray(jitter_offsets(iifac, quickmode))
+    """Shared mode-2 body over already-built (C, WLEN) windows.
 
+    All jitter attempts evaluate in ONE offset-tensorized matmul; the
+    J axis stays in schedule order (0, -ii, +ii, ...) so downstream
+    first-success selection keeps the reference's jitter-loop
+    semantics (wsprd/wsprd.c:739-766)."""
+    offs = tuple(int(o) + HALF_SPAN
+                 for o in jitter_offsets(iifac, quickmode))
+    p = _tone_mags_offsets(wr, wi, freq, drift, offs)  # (C,162,J,4)
+    pj = jnp.moveaxis(p, 2, 0)                         # (J,C,162,4)
+    sync = _sync_from_powers(pj)                       # (J,C)
     pr3 = jnp.asarray(_PR3)
-
-    def jit_step(_, ii):
-        xr, xi = _window_symbols(wr, wi, ii + HALF_SPAN)
-        yr, yi = _derotate(xr, xi, ecr, eci)
-        p = _tone_mags(yr, yi, etr, eti)  # (C,162,4)
-        sync = _sync_from_powers(p)
-        # fsymb = p3-p1 (pr3=1) else p2-p0 (wsprd/wsprd.c:219-225)
-        fsymb = jnp.where(pr3[None, :], p[..., 3] - p[..., 1], p[..., 2] - p[..., 0])
-        fsum = jnp.sum(fsymb / NSYM, axis=-1, keepdims=True)
-        f2sum = jnp.sum(fsymb * fsymb / NSYM, axis=-1, keepdims=True)
-        fac = jnp.sqrt(jnp.maximum(f2sum - fsum * fsum, 1e-30))
-        fs = symfac * fsymb / fac
-        fs = jnp.clip(fs, -128.0, 127.0)
-        # C: symbols[i] = (uchar)(fsymb[i] + 128) truncates toward zero;
-        # fs+128 >= 0 so trunc == floor
-        sym = jnp.floor(fs + 128.0).astype(jnp.uint8)  # (C,162)
-        y = sym.astype(jnp.float32) - 128.0
-        rms = jnp.sqrt(jnp.sum(y * y, axis=-1) / NSYM)
-        return None, (sym, sync, rms)
-
-    _, (sym, sync, rms) = jax.lax.scan(jit_step, None, jit,
-                                       unroll=_scan_unroll())
+    # fsymb = p3-p1 (pr3=1) else p2-p0 (wsprd/wsprd.c:219-225)
+    fsymb = jnp.where(pr3[None, None, :],
+                      pj[..., 3] - pj[..., 1], pj[..., 2] - pj[..., 0])
+    fsum = jnp.sum(fsymb / NSYM, axis=-1, keepdims=True)
+    f2sum = jnp.sum(fsymb * fsymb / NSYM, axis=-1, keepdims=True)
+    fac = jnp.sqrt(jnp.maximum(f2sum - fsum * fsum, 1e-30))
+    fs = symfac * fsymb / fac
+    fs = jnp.clip(fs, -128.0, 127.0)
+    # C: symbols[i] = (uchar)(fsymb[i] + 128) truncates toward zero;
+    # fs+128 >= 0 so trunc == floor
+    sym = jnp.floor(fs + 128.0).astype(jnp.uint8)      # (J,C,162)
+    y = sym.astype(jnp.float32) - 128.0
+    rms = jnp.sqrt(jnp.sum(y * y, axis=-1) / NSYM)     # (J,C)
     return JitteredSymbols(symbols=sym, sync=sync, rms=rms)
 
 
