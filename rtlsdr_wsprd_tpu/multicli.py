@@ -75,6 +75,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "uint8 to the chip), host (native C++; only "
                         "375 sps baseband crosses the link), or auto "
                         "(host on RPC-tunneled backends)")
+    p.add_argument("-w", dest="writefile", metavar="PREFIX", default=None,
+                   help="save each channel's normalized window as "
+                        "PREFIX_chNN_<timestamp>.iq (reference -w)")
+    p.add_argument("--devices", choices=("default", "all"),
+                   default="default",
+                   help="decode on the default device, or shard each "
+                        "window batch's channels across ALL local "
+                        "chips (one staged pipeline per chip)")
+    p.add_argument("--strict-hash-order", action="store_true",
+                   help="with -H: serialize window batches so type-1 "
+                        "decodes always teach later type-3 spots "
+                        "(reference window order; disables the "
+                        "2-deep pipeline overlap)")
     p.add_argument("--help", action="help")
     p.add_argument("--version", action="version",
                    version=f"rtlsdr_wsprd_tpu {__version__}")
@@ -161,7 +174,9 @@ def main(argv: list[str] | None = None) -> int:
         device_batch=args.device_batch,
         fec="auto", dialfreqs=dialfreqs, reporters=reporters,
         align=not args.synth and not args.noalign,
-        frontend=args.frontend, channelize=channelize)
+        frontend=args.frontend, channelize=channelize,
+        devices=args.devices, strict_hash_order=args.strict_hash_order,
+        write_prefix=args.writefile)
     try:
         daemon.run(max_windows=args.maxloop)
     finally:

@@ -724,8 +724,36 @@ class _DeviceWindows:
         self._log: list[tuple] = []
         self._di = self._dq = None
 
+    @classmethod
+    def from_device(cls, di: jnp.ndarray, dq: jnp.ndarray,
+                    device_batch: int, device=None) -> "_DeviceWindows":
+        """Wrap ALREADY-DEVICE-RESIDENT float32 (B, SIGNAL_SAMPLES)
+        planes — windows assembled by the on-device front end — as a
+        decode handle: zero host round-trip of sample data. No host
+        canonical copy exists, so the crash-replay path is unavailable;
+        a worker crash propagates instead of replaying (the producer
+        owns recovery, e.g. by re-running its front-end chain)."""
+        self = cls.__new__(cls)
+        self.device = device
+        self.device_batch = device_batch
+        B = di.shape[0]
+        self.B = B
+        self.n_pad = -(-B // device_batch) * device_batch
+        if self.n_pad != B:
+            di = jnp.pad(di, ((0, self.n_pad - B), (0, 0)))
+            dq = jnp.pad(dq, ((0, self.n_pad - B), (0, 0)))
+        self._tdt = "device"
+        self._host_i = self._host_q = None
+        self._log = []
+        self._di, self._dq = di, dq
+        return self
+
     @property
     def arrays(self):
+        if self._di is None and self._host_i is None:
+            raise RuntimeError(
+                "device-fed window handle lost its arrays (worker "
+                "crash?); no host copy exists to replay from")
         if self._di is None:
             def put(x):
                 return (jax.device_put(x, self.device)
@@ -949,6 +977,22 @@ def prepare_windows(
     return dw
 
 
+def prepare_windows_device(
+    di: jnp.ndarray,
+    dq: jnp.ndarray,
+    device_batch: int = 8,
+    device=None,
+) -> _DeviceWindows:
+    """Wrap device-resident float32 (B, SIGNAL_SAMPLES) planar windows
+    (e.g. assembled from the on-device front end's baseband) as a
+    decode handle — the zero-host-round-trip feed for
+    ``decode_channels(windows=...)`` / ``decode_channels_pipelined``.
+    See _DeviceWindows.from_device for crash-recovery semantics."""
+    assert di.ndim == 2 and di.shape[1] == SIGNAL_SAMPLES
+    assert di.shape == dq.shape
+    return _DeviceWindows.from_device(di, dq, device_batch, device=device)
+
+
 def decode_channels(
     i_windows: np.ndarray | None,
     q_windows: np.ndarray | None,
@@ -1149,6 +1193,7 @@ def decode_channels_pipelined(
     device=None,
     fec: str = "auto",
     on_error=None,
+    strict_hash_order: bool = False,
 ):
     """Stream-decode an iterable of window batches with a ``depth``-deep
     pipeline; yields each batch's spot lists in order. Each item is
@@ -1174,12 +1219,17 @@ def decode_channels_pipelined(
     (dict ops are GIL-atomic) but a batch may not see callsign hashes
     inserted by the ``depth - 1`` batches still in flight — a type-3
     ``<hash>`` spot whose teaching type-1 decode is in the immediately
-    preceding batch can resolve as ``<...>``. Sequential
-    ``decode_channels`` calls (e.g. the 2-minute daemon cadence, where
-    latency is irrelevant) keep exact reference ordering.
+    preceding batch can resolve as ``<...>``. Pass
+    ``strict_hash_order=True`` (with ``options.usehashtable``) to
+    serialize batches (effective depth 1) so every batch sees every
+    earlier batch's hash inserts — the reference's strictly sequential
+    window order (wsprd/wsprd_utils.c:275-300) at the cost of the
+    pipeline overlap.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if strict_hash_order and options.usehashtable:
+        depth = 1
     ht = hashtable if hashtable is not None else WsprHashTable()
 
     def _result(fut, n_channels):
@@ -1208,6 +1258,93 @@ def decode_channels_pipelined(
                 yield _result(*futs.pop(0))
         for f, n_ch in futs:
             yield _result(f, n_ch)
+
+
+def decode_channels_pipelined_multidevice(
+    batches,
+    options: DecoderOptions = DecoderOptions(),
+    hashtable: WsprHashTable | None = None,
+    depth: int = 2,
+    device_batch: int = 64,
+    transfer_dtype: str = "int8",
+    fec: str = "auto",
+    on_error=None,
+    devices=None,
+    strict_hash_order: bool = False,
+):
+    """decode_channels_pipelined across all LOCAL devices: each window
+    batch's channel rows split into one contiguous shard per chip, every
+    shard runs the staged pipeline on its own device concurrently (from
+    host threads; device waits release the GIL), and batches stay
+    ``depth``-deep in flight per chip. Yields merged per-channel spot
+    lists in batch order — the integrated ingest->spots analog of
+    decode_channels_multidevice, used by MultiChannelDaemon(devices=...)
+    to span a host's chips (BASELINE.md: 1000+ channels on a v5e-16;
+    reference live path rtlsdr_wsprd.c:126-328 drives exactly one CPU).
+
+    ``on_error``: per-SHARD isolation — a failed shard yields empty
+    lists for its channels (reported via on_error(exc)) while the other
+    chips' results for the same batch survive.
+
+    ``strict_hash_order`` serializes BATCHES (as in
+    decode_channels_pipelined); shards of one batch still run
+    concurrently, so a type-1 decode can only teach type-3 spots in
+    LATER batches, not same-batch other-shard ones — run single-device
+    when same-window cross-channel teaching must match the reference's
+    sequential channel order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if strict_hash_order and options.usehashtable:
+        depth = 1
+    if devices is None:
+        devices = jax.local_devices()
+    D = len(devices)
+    if D == 1:
+        yield from decode_channels_pipelined(
+            batches, options, hashtable, depth=depth,
+            device_batch=device_batch, transfer_dtype=transfer_dtype,
+            device=devices[0], fec=fec, on_error=on_error)
+        return
+    ht = hashtable if hashtable is not None else WsprHashTable()
+
+    def _shard_result(fut, n_ch):
+        if on_error is None:
+            return fut.result()
+        try:
+            return fut.result()
+        except Exception as exc:
+            on_error(exc)
+            return [[] for _ in range(n_ch)]
+
+    def _merge(shard_futs):
+        out = []
+        for fut, n_ch in shard_futs:
+            out.extend(_shard_result(fut, n_ch))
+        return out
+
+    with ThreadPoolExecutor(D * depth) as ex:
+        futs: list[list[tuple]] = []
+        for item in batches:
+            wi, wq = item
+            B = wi.shape[0]
+            d_use = min(D, B)
+            bounds = [B * k // d_use for k in range(d_use + 1)]
+            shard_futs = []
+            for k in range(d_use):
+                s0, s1 = bounds[k], bounds[k + 1]
+                w = prepare_windows(
+                    wi[s0:s1], wq[s0:s1],
+                    device_batch=min(device_batch, s1 - s0),
+                    transfer_dtype=transfer_dtype, device=devices[k])
+                shard_futs.append(
+                    (ex.submit(decode_channels, None, None, options, ht,
+                               windows=w, fec=fec), s1 - s0))
+            futs.append(shard_futs)
+            while len(futs) >= depth:
+                yield _merge(futs.pop(0))
+        for sf in futs:
+            yield _merge(sf)
 
 
 def decode_channels_multidevice(
@@ -1266,8 +1403,10 @@ __all__ = [
     "ChannelDecode",
     "multichannel_decode_device",
     "prepare_windows",
+    "prepare_windows_device",
     "decode_channels",
     "decode_channels_pipelined",
+    "decode_channels_pipelined_multidevice",
     "decode_channels_multidevice",
     "shard_windows",
     "DEFAULT_MAX_ATTEMPTS",

@@ -82,7 +82,9 @@ class MultiChannelDaemon:
                  dialfreqs: list[int] | None = None,
                  reporters: list[WsprnetReporter | None] | None = None,
                  align: bool = False, frontend: str = "auto",
-                 channelize: list[int] | None = None):
+                 channelize: list[int] | None = None,
+                 devices="default", strict_hash_order: bool = False,
+                 write_prefix: str | None = None):
         """``dialfreqs``: per-channel dial frequency in Hz for a
         multi-band bank — spot frequencies are decoded against
         ``options.freq`` and re-based per channel before print/post
@@ -105,8 +107,23 @@ class MultiChannelDaemon:
         (frontend/channelize.py); ``dialfreqs`` defaults to the list.
         The reference binds one dongle to one band
         (rtlsdr_wsprd.c:1044-1124) — this decodes every WSPR dial
-        inside the capture's +-1.2 MHz from one dongle."""
+        inside the capture's +-1.2 MHz from one dongle.
+        ``devices``: ``"default"`` decodes on the default device;
+        ``"all"`` shards each window batch's channels across every
+        local chip (decode_channels_pipelined_multidevice — the
+        one-host-many-chips production layout, BASELINE.md's v5e-16
+        target); or pass an explicit device list.
+        ``strict_hash_order``: serialize window batches when
+        ``options.usehashtable`` so a type-1 decode always teaches
+        type-3 spots in later batches (the reference's sequential
+        window order; costs the pipeline overlap).
+        ``write_prefix``: save every channel's normalized window as
+        ``{prefix}_ch{NN}_{timestamp}.iq`` (the reference's ``-w``
+        capture saving, rtlsdr_wsprd.c:477-496, per channel)."""
         self.bank = bank
+        self.devices = devices
+        self.strict_hash_order = strict_hash_order
+        self.write_prefix = write_prefix
         self.options = options
         self.reporter = reporter
         self.dialfreqs = dialfreqs
@@ -155,6 +172,20 @@ class MultiChannelDaemon:
             return HostBatchedStreamingDecimator(n_channels)
         return BatchedStreamingDecimator(n_channels)
 
+    def _save_windows(self, wi: np.ndarray, wq: np.ndarray,
+                      ts: float) -> None:
+        """Per-channel -w capture saving (rtlsdr_wsprd.c:477-496): one
+        timestamped .iq file per channel, normalized windows (the
+        reference saves post-normalization, rtlsdr_wsprd.c:291-323)."""
+        from . import iqio
+
+        gtm = time.gmtime(ts - 119)
+        for ch in range(wi.shape[0]):
+            fname = "%.8s_ch%02d_%04d-%02d-%02d_%02d-%02d-%02d.iq" % (
+                self.write_prefix, ch, gtm.tm_year, gtm.tm_mon,
+                gtm.tm_mday, gtm.tm_hour, gtm.tm_min, gtm.tm_sec)
+            iqio.write_iq_file(wi[ch], wq[ch], fname)
+
     # -- ingest side --------------------------------------------------------
 
     def window_batches(self, max_windows: int = 0):
@@ -194,16 +225,24 @@ class MultiChannelDaemon:
                 wq = acc_q[:, :SIGNAL_SAMPLES]
                 acc_i = acc_i[:, SIGNAL_SAMPLES:]
                 acc_q = acc_q[:, SIGNAL_SAMPLES:]
-                self._ts.append(time.time())
+                ts = time.time()
+                self._ts.append(ts)
                 n += 1
-                yield normalize_rows_minus3db(wi, wq)
+                nwi, nwq = normalize_rows_minus3db(wi, wq)
+                if self.write_prefix:
+                    self._save_windows(nwi, nwq, ts)
+                yield nwi, nwq
         if eof and acc_i.shape[1] >= 117 * 375 and (
                 max_windows == 0 or n < max_windows):
             pad = SIGNAL_SAMPLES - acc_i.shape[1]
             wi = np.pad(acc_i, ((0, 0), (0, pad)))
             wq = np.pad(acc_q, ((0, 0), (0, pad)))
-            self._ts.append(time.time())
-            yield normalize_rows_minus3db(wi, wq)
+            ts = time.time()
+            self._ts.append(ts)
+            nwi, nwq = normalize_rows_minus3db(wi, wq)
+            if self.write_prefix:
+                self._save_windows(nwi, nwq, ts)
+            yield nwi, nwq
 
     # -- the loop -----------------------------------------------------------
 
@@ -255,11 +294,25 @@ class MultiChannelDaemon:
                 print("Batch decode failed (stream continues): "
                       f"{exc!r}")
 
+        kw = dict(depth=self.depth, device_batch=self.device_batch,
+                  fec=self.fec, on_error=on_batch_error,
+                  strict_hash_order=self.strict_hash_order)
+        if self.devices == "default":
+            pipeline = decode_channels_pipelined(
+                gen, self.options, self.hashtable, **kw)
+        else:
+            import jax
+
+            from ..parallel.multichannel import (
+                decode_channels_pipelined_multidevice,
+            )
+
+            devs = (jax.local_devices() if self.devices == "all"
+                    else self.devices)
+            pipeline = decode_channels_pipelined_multidevice(
+                gen, self.options, self.hashtable, devices=devs, **kw)
         try:
-            for per_channel in decode_channels_pipelined(
-                    gen, self.options, self.hashtable, depth=self.depth,
-                    device_batch=self.device_batch, fec=self.fec,
-                    on_error=on_batch_error):
+            for per_channel in pipeline:
                 ts = self._ts.pop(0)
                 gtm = time.gmtime(ts - 119)  # rtlsdr_wsprd.c:310-313
                 out.append(self._report(per_channel, gtm))

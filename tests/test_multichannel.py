@@ -108,6 +108,38 @@ def test_multidevice_threaded_matches_single(batch3):
     assert got == want
 
 
+def test_pipelined_multidevice_matches_and_places(batch3, monkeypatch):
+    """decode_channels_pipelined_multidevice shards each batch's
+    channels across the given devices (one staged pipeline per chip)
+    and must match the single-device pipelined results in channel
+    order."""
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+
+    options = DecoderOptions(quickmode=True)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    placed = []
+    orig = mc.prepare_windows
+
+    def spy(*a, **kw):
+        placed.append(kw.get("device"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mc, "prepare_windows", spy)
+    devs = jax.devices()[:3]
+    assert len(devs) == 3  # conftest's 8 virtual CPU devices
+    multi = list(mc.decode_channels_pipelined_multidevice(
+        iter([(wi, wq)]), options, devices=devs, device_batch=1))
+    assert len(multi) == 1
+    single = decode_channels(wi, wq, options, device_batch=3)
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in multi[0]]
+    want = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in single]
+    assert got == want
+    # one shard per device, actually placed on three distinct devices
+    assert len(placed) == 3
+    assert len({str(d) for d in placed}) == 3
+
+
 def test_multichannel_sharded_over_mesh(batch3):
     """Sharded and unsharded device steps produce identical arrays.
 

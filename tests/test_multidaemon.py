@@ -44,6 +44,28 @@ def test_window_batch_assembly_and_padding():
     np.testing.assert_allclose(peaks, 0.5, rtol=1e-5)
 
 
+def test_multidaemon_write_prefix_saves_per_channel(tmp_path, monkeypatch):
+    """-w capture saving: one timestamped, byte-compatible .iq per
+    channel per window (rtlsdr_wsprd.c:477-496), contents = the
+    normalized window that was decoded."""
+    from rtlsdr_wsprd_tpu.runtime.iqio import read_iq_file
+
+    monkeypatch.chdir(tmp_path)
+    bank = SyntheticRawBank(2, duration_s=122.0)
+    d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                           write_prefix="cap")
+    batches = list(d.window_batches())
+    assert len(batches) == 1
+    files = sorted(tmp_path.glob("cap_ch*.iq"))
+    assert len(files) == 2
+    for ch, f in enumerate(files):
+        assert f"_ch{ch:02d}_" in f.name
+        i, q = read_iq_file(f)
+        assert i.shape[0] == SIGNAL_SAMPLES
+        np.testing.assert_allclose(i, batches[0][0][ch], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(q, batches[0][1][ch], rtol=0, atol=1e-6)
+
+
 def test_dialfreq_rebase_and_per_channel_reporters():
     """Multi-band bank: channel spots re-base to their own dial
     frequency, and each channel posts through its own reporter."""
@@ -128,6 +150,48 @@ def test_multichannel_raw_to_spots_end_to_end():
     assert abs((f1.freq * 1e6 - 1500.0) - (-40.0)) < 0.5
     assert d.stats.window_batches == 1
     assert d.stats.spots >= 2
+
+
+@pytest.mark.slow
+def test_multichannel_daemon_all_devices_end_to_end():
+    """Full raw-uint8 -> spots chain with the channel bank sharded
+    across ALL local devices (the 8 virtual CPU devices here;
+    devices='all' — the one-host-many-chips production layout,
+    BASELINE.md's v5e-16 target). Every channel decodes its exact
+    message; shards actually land on distinct devices."""
+    import jax
+
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+
+    assert len(jax.local_devices()) == 8
+    msgs = ["K1JT FN20QI 20", "W1AW FN31 30"]
+    bank = SyntheticRawBank(4, messages=msgs, f0s=[30.0, -40.0, 10.0,
+                                                   -20.0],
+                            amps=25.0, noises=3.0, duration_s=122.0)
+    placed = []
+    orig = mc.prepare_windows
+
+    def spy(*a, **kw):
+        placed.append(kw.get("device"))
+        return orig(*a, **kw)
+
+    mc.prepare_windows, saved = spy, orig
+    try:
+        d = MultiChannelDaemon(bank, DecoderOptions(quickmode=True),
+                               device_batch=1, devices="all")
+        out = d.run()
+    finally:
+        mc.prepare_windows = saved
+    assert d.stats.errors == 0 and len(out) == 1
+    per_channel = out[0]
+    assert len(per_channel) == 4
+    for ch in range(4):
+        got = {(s.call, s.loc, s.pwr) for s in per_channel[ch]}
+        want = ("K1JT", "FN20", "20") if ch % 2 == 0 else \
+            ("W1AW", "FN31", "30")
+        assert want in got, f"channel {ch}: {got}"
+    assert len(placed) == 4  # one shard per channel
+    assert len({str(dv) for dv in placed}) == 4  # distinct devices
 
 
 @pytest.mark.slow

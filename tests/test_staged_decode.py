@@ -258,6 +258,95 @@ def test_decode_channels_pipelined_accepts_prepared_handles(
         assert got == expect
 
 
+def test_strict_hash_order_serializes_batches(monkeypatch):
+    """strict_hash_order + usehashtable must fully serialize batches:
+    batch k+1's decode may only START after batch k's completed (so
+    every hashtable insert is visible to the next batch)."""
+    import time
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+
+    timeline = []
+
+    def fake_decode(i, q, options, ht, windows=None, fec="auto", **kw):
+        k = sum(1 for ev, _ in timeline if ev == "start")
+        timeline.append(("start", time.perf_counter()))
+        if k == 0:
+            time.sleep(0.25)  # make any overlap visible
+        timeline.append(("end", time.perf_counter()))
+        return [[] for _ in range(windows.B)]
+
+    monkeypatch.setattr(mc, "decode_channels", fake_decode)
+    z = np.zeros((1, 45000), np.float32)
+    opts = DecoderOptions(quickmode=True, usehashtable=True)
+    out = list(mc.decode_channels_pipelined(
+        iter([(z, z), (z, z)]), opts, WsprHashTable(), depth=2,
+        device_batch=1, strict_hash_order=True))
+    assert len(out) == 2
+    starts = [t for ev, t in timeline if ev == "start"]
+    ends = [t for ev, t in timeline if ev == "end"]
+    assert len(starts) == 2
+    assert starts[1] >= ends[0]
+
+
+@pytest.mark.slow
+def test_strict_hash_order_resolves_cross_batch_type3():
+    """A type-2 decode in batch k teaches the 15-bit callsign hash; the
+    type-3 <hash> spot in batch k+1 must resolve to the full call under
+    strict_hash_order (the reference's sequential window order,
+    wsprd/wsprd_utils.c:275-300)."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_pipelined,
+    )
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    def win(msg, seed):
+        i, q = synth_window_at_snr(msg, snr_db=8.0, f0=20.0, seed=seed)
+        i, q = normalize_minus3db(i, q)
+        return i[None], q[None]
+
+    batches = [win("PJ4/K1ABC 37", 41), win("<PJ4/K1ABC> FK52UD 37", 42)]
+    opts = DecoderOptions(quickmode=True, usehashtable=True)
+    ht = WsprHashTable()
+    out = list(decode_channels_pipelined(
+        iter(batches), opts, ht, depth=2, device_batch=1,
+        strict_hash_order=True))
+    assert len(out) == 2
+    # type 2 decoded in batch 0 (call field empty, full message string)
+    assert any(s.message == "PJ4/K1ABC 37" for s in out[0][0])
+    # its hash taught the type-3 <call> resolution in batch 1
+    assert "<PJ4/K1ABC>" in {s.call for s in out[1][0]}
+
+
+def test_prepare_windows_device_matches_host_feed(batch_decode_env):
+    """Device-resident window planes wrapped by prepare_windows_device
+    (the on-device front end's zero-round-trip feed) must decode
+    identically to the float32 host feed — including the non-multiple
+    device_batch padding path."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels,
+        decode_channels_pipelined,
+        prepare_windows_device,
+    )
+
+    wi, wq, expect = batch_decode_env
+    h = prepare_windows_device(jnp.asarray(wi), jnp.asarray(wq),
+                               device_batch=2)  # pads 3 -> 4 on device
+    assert h.n_pad == 4
+    out = list(decode_channels_pipelined(
+        iter([h]), DecoderOptions(quickmode=True), device_batch=2))
+    got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in out[0]]
+    ref = decode_channels(wi, wq, DecoderOptions(quickmode=True),
+                          device_batch=2, transfer_dtype="float32")
+    ref_got = [sorted((s.call, s.loc, s.pwr) for s in ch) for ch in ref]
+    assert got == ref_got
+    assert [g for g in got if g] == [e for e in expect if e]
+
+
 def test_device_windows_replay_reproduces_state(rng):
     """After invalidate() (simulated worker crash) the replay log must
     rebuild the exact post-subtraction device state."""
