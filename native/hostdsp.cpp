@@ -142,6 +142,13 @@ inline void pp_dot_x2(const float* bi, const float* bq, const float* gr,
 
 extern "C" {
 
+// ABI version of this shared object. Bumped whenever an entry point is
+// added, removed, or its signature changes; the ctypes loader
+// (rtlsdr_wsprd_tpu/native/__init__.py) refuses to bind a .so whose
+// ABI does not match, so a stale prebuilt library can never be called
+// with mismatched expectations (it falls back to the Python paths).
+int wspr_hostdsp_abi(void) { return 3; }
+
 // ---- lookup3 ---------------------------------------------------------------
 
 uint32_t wspr_hashlittle(const uint8_t* key, uint64_t length,

@@ -25,6 +25,13 @@ _SO = Path(os.environ.get("RTLSDR_WSPRD_TPU_NATIVE",
 
 _lib = None
 
+# ABI version this binding layer expects; must equal the .so's
+# wspr_hostdsp_abi(). Bump BOTH (here and native/hostdsp.cpp) when an
+# entry point is added/removed/changed. A mismatched (stale prebuilt)
+# library is rejected outright — every caller then takes its
+# pure-Python fallback — instead of binding a partial symbol set.
+_ABI = 3
+
 
 def _build() -> bool:
     try:
@@ -50,6 +57,16 @@ def _load():
     except OSError:
         return None
 
+    try:
+        lib.wspr_hostdsp_abi.restype = ctypes.c_int
+        abi = int(lib.wspr_hostdsp_abi())
+    except AttributeError:
+        abi = -1
+    if abi != _ABI:
+        # stale prebuilt .so (make above would have refreshed any repo
+        # checkout); refuse to bind rather than call mismatched symbols
+        return None
+
     lib.wspr_nhash.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
     lib.wspr_nhash.restype = ctypes.c_uint32
 
@@ -72,32 +89,28 @@ def _load():
     lib.u8_deinterleave_center.argtypes = [u8p, ctypes.c_uint64, f32p, f32p]
     lib.u8_deinterleave_center.restype = None
 
-    if hasattr(lib, "u8_deinterleave_pairs"):  # absent in stale .so
-        lib.u8_deinterleave_pairs.argtypes = [
-            u8p, ctypes.c_uint64, u8p, u8p]
-        lib.u8_deinterleave_pairs.restype = None
+    lib.u8_deinterleave_pairs.argtypes = [u8p, ctypes.c_uint64, u8p, u8p]
+    lib.u8_deinterleave_pairs.restype = None
 
-    if hasattr(lib, "wspr_pp_decimate_f32"):  # absent in stale .so
-        i64 = ctypes.c_int64
-        lib.wspr_pp_decimate_f32.argtypes = [
-            f32p, f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
-        lib.wspr_pp_decimate_f32.restype = None
-        lib.wspr_pp_decimate_u8.argtypes = [
-            u8p, u8p, f32p, f32p, i64, i64, i64, f32p, f32p]
-        lib.wspr_pp_decimate_u8.restype = None
-        lib.wspr_fir_decimate_f32.argtypes = [
-            f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
-        lib.wspr_fir_decimate_f32.restype = None
+    i64 = ctypes.c_int64
+    lib.wspr_pp_decimate_f32.argtypes = [
+        f32p, f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
+    lib.wspr_pp_decimate_f32.restype = None
+    lib.wspr_pp_decimate_u8.argtypes = [
+        u8p, u8p, f32p, f32p, i64, i64, i64, f32p, f32p]
+    lib.wspr_pp_decimate_u8.restype = None
+    lib.wspr_fir_decimate_f32.argtypes = [
+        f32p, f32p, f32p, i64, i64, i64, f32p, f32p]
+    lib.wspr_fir_decimate_f32.restype = None
 
-    if hasattr(lib, "f32_quantize_i8"):  # absent in stale prebuilt .so
-        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-        lib.f32_quantize_i8.argtypes = [
-            f32p, ctypes.c_uint64, ctypes.c_float, i8p]
-        lib.f32_quantize_i8.restype = None
-        lib.f32_quantize_i16.argtypes = [
-            f32p, ctypes.c_uint64, ctypes.c_float, i16p]
-        lib.f32_quantize_i16.restype = None
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.f32_quantize_i8.argtypes = [
+        f32p, ctypes.c_uint64, ctypes.c_float, i8p]
+    lib.f32_quantize_i8.restype = None
+    lib.f32_quantize_i16.argtypes = [
+        f32p, ctypes.c_uint64, ctypes.c_float, i16p]
+    lib.f32_quantize_i16.restype = None
 
     _lib = lib
     return lib
@@ -208,7 +221,7 @@ def u8_deinterleave_pairs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     raw = np.ascontiguousarray(raw, np.uint8)
     n = raw.shape[0] // 2
     lib = _load()
-    if lib is None or not hasattr(lib, "u8_deinterleave_pairs"):
+    if lib is None:
         return (np.ascontiguousarray(raw[: 2 * n : 2]),
                 np.ascontiguousarray(raw[1 : 2 * n : 2]))
     out_i = np.empty(n, np.uint8)
@@ -217,7 +230,8 @@ def u8_deinterleave_pairs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return out_i, out_q
 
 
-HAS_DECIMATE = AVAILABLE and hasattr(_lib, "wspr_pp_decimate_f32")
+# the ABI gate above guarantees a bound library has every entry point
+HAS_DECIMATE = AVAILABLE
 
 
 def pp_decimate(xI: np.ndarray, xQ: np.ndarray, gr: np.ndarray,
@@ -229,7 +243,7 @@ def pp_decimate(xI: np.ndarray, xQ: np.ndarray, gr: np.ndarray,
     the host-placed front end for link-constrained deployments
     (frontend/host_decimate.py)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "wspr_pp_decimate_f32"):
+    if lib is None:
         raise RuntimeError("native hostdsp polyphase unavailable "
                            "(rebuild native/, or use the device path)")
     taps = gr.shape[0]
@@ -254,7 +268,7 @@ def fir_decimate(xI: np.ndarray, xQ: np.ndarray, g: np.ndarray, R: int,
                  n_frames: int) -> tuple[np.ndarray, np.ndarray]:
     """Real-tap polyphase decimation on host (both planes share taps)."""
     lib = _load()
-    if lib is None or not hasattr(lib, "wspr_fir_decimate_f32"):
+    if lib is None:
         raise RuntimeError("native hostdsp polyphase unavailable")
     taps = g.shape[0]
     assert xI.shape == xQ.shape == (n_frames * R + taps - R,)
@@ -277,9 +291,8 @@ def quantize_into(x: np.ndarray, out: np.ndarray, scale: float) -> None:
     lib = _load()
     fn = None
     if lib is not None:
-        name = {np.dtype(np.int8): "f32_quantize_i8",
-                np.dtype(np.int16): "f32_quantize_i16"}[out.dtype]
-        fn = getattr(lib, name, None)  # None for a stale prebuilt .so
+        fn = (lib.f32_quantize_i8 if out.dtype == np.int8
+              else lib.f32_quantize_i16)
     if fn is None:
         lim = 127 if out.dtype == np.int8 else 32767
         out[...] = np.clip(np.nan_to_num(np.rint(x * scale)), -lim, lim)
