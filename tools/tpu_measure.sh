@@ -2,7 +2,7 @@
 # One serialized TPU measurement pass (run after the tunnel is healthy):
 # probes with a tiny op first, then runs the full measurement set one
 # process at a time (the axon tunnel serves ONE process reliably;
-# concurrent clients contend). Logs land in /tmp/tpu_r2/.
+# concurrent clients contend). Logs land in /tmp/tpu_r3/.
 #
 #   bash tools/tpu_measure.sh
 #
@@ -10,7 +10,7 @@
 # roofline/MFU table, staged-path phase timings.
 set -u
 cd "$(dirname "$0")/.."
-OUT=${1:-/tmp/tpu_r2}
+OUT=${1:-/tmp/tpu_r3}
 mkdir -p "$OUT"
 
 echo "== probe =="
@@ -22,12 +22,12 @@ print("TPU_OK", float((x @ x).sum()))
 EOF
 
 echo "== bench (B=512 DB=128) =="
-timeout 3000 python bench.py 2>&1 | tee "$OUT/bench.log"
+timeout 5400 python bench.py 2>&1 | tee "$OUT/bench.log"
 
 echo "== roofline (B=128) =="
-timeout 3000 python tools/roofline.py 128 2>&1 | tee "$OUT/roofline.log"
+timeout 5400 python tools/roofline.py 128 2>&1 | tee "$OUT/roofline.log"
 
 echo "== staged phase profile (B=512 DB=128) =="
-timeout 3000 python tools/profile_staged.py 512 128 2>&1 | tee "$OUT/profile_staged.log"
+timeout 5400 python tools/profile_staged.py 512 128 2>&1 | tee "$OUT/profile_staged.log"
 
 echo "== done; logs in $OUT =="
