@@ -54,6 +54,35 @@ def batch_decode_env():
     return wi, wq, expect
 
 
+def test_offset_correlator_matches_bruteforce(rng):
+    """The offset-tensorized correlator (one matmul against the static
+    offset-shifted tone matrix, via the pure-exponential phase
+    identity) must equal the direct per-offset formulation: slice the
+    window at each offset, derotate with the 256-sample phasor,
+    correlate with E_TONE."""
+    from rtlsdr_wsprd_tpu.ops import sync as S
+
+    C = 3
+    wr = jnp.asarray(rng.normal(0, 1, (C, S.WLEN)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(0, 1, (C, S.WLEN)).astype(np.float32))
+    freq = jnp.asarray(np.linspace(-90, 100, C).astype(np.float32))
+    drift = jnp.asarray(np.linspace(-3, 3, C).astype(np.float32))
+    offsets = (0, 8, 127, 129, 256)  # span the full lag/jitter range
+
+    p = np.asarray(S._tone_mags_offsets(wr, wi, freq, drift, offsets))
+    assert p.shape == (C, 162, len(offsets), 4)
+
+    ecr, eci = S._cand_phasor_conj(freq, drift)  # (C,162,256)
+    etr = jnp.asarray(S.E_TONE_R)
+    eti = jnp.asarray(S.E_TONE_I)
+    for k, o in enumerate(offsets):
+        xr = wr[:, o:o + S.NSIG].reshape(C, 162, 256)
+        xi = wi[:, o:o + S.NSIG].reshape(C, 162, 256)
+        yr, yi = S._derotate(xr, xi, ecr, eci)
+        ref = np.asarray(S._tone_mags(yr, yi, etr, eti))
+        np.testing.assert_allclose(p[:, :, k], ref, rtol=2e-4, atol=2e-3)
+
+
 def test_lane_variants_match_per_window(rng):
     """fine_sync_lanes / soft_symbols_lanes over cross-window lanes must
     equal the per-window forms exactly (same slices, same einsums)."""
