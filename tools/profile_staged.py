@@ -85,6 +85,14 @@ def main():
     t_up0 = time.perf_counter()
     prepared = mc.prepare_windows(wi, wq, device_batch=DB)
     t_up1 = time.perf_counter()
+    # rendezvous: the async upload must LAND before the decode timer
+    # starts, else stage A's interval absorbs the (link-bound) window
+    # transfer — 46 MB at tunnel speed reads as >1 s of fake stage-A
+    # time. Steady-state pipelining overlaps this transfer with the
+    # previous batch's decode (bench.py), so it is not decode cost.
+    di, dq = prepared.arrays
+    float(np.asarray(di.ravel()[0]))
+    t_land = time.perf_counter()
 
     t0 = time.perf_counter()
     mc.decode_channels(None, None, options, windows=prepared)
@@ -102,6 +110,8 @@ def main():
           f"spots={n_spots}")
     print(f"{'prepare_windows (quantize+put)':34s} {1e3*(t_up1-t_up0):9.1f} ms"
           " (overlaps decode in steady state)")
+    print(f"{'window upload landing':34s} {1e3*(t_land-t_up1):9.1f} ms"
+          " (link-bound; also overlapped)")
     for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
         print(f"{k:34s} {1e3 * v:9.1f} ms  {100 * v / total:5.1f}%")
     print(f"{'TOTAL decode':34s} {1e3 * total:9.1f} ms   "
