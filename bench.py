@@ -239,6 +239,8 @@ def main() -> None:
     jnp.asarray(blk).max().item()
     link_mbps = blk.nbytes / (time.perf_counter() - t0) / 1e6
 
+    del handles  # release the headline's device-resident windows
+
     # end-to-end DEVICE placement (PCIe-representative): raw uint8 is
     # generated ON DEVICE (this container's RPC tunnel would otherwise
     # be the measured quantity; on a PCIe host the 4.8 MB/s/channel raw
@@ -262,7 +264,13 @@ def main() -> None:
 
     DC = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_C", 64))
     DWIN = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_W", 3))
-    N_MID = 24_000          # stage-1 frames per fused step (mult of R2)
+    # stage-1 frames per fused step (multiple of R2, and BB_STEP must
+    # divide SIGNAL_SAMPLES). 120k = 4 s of stream per scan iteration:
+    # tunneled backends pay an RPC per device-loop iteration, so the
+    # window's 30 iterations cost ~0.8 s of link latency instead of
+    # 150 x RTT; on PCIe hosts the step size is throughput-neutral.
+    N_MID = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_NMID",
+                               120_000))
     BB_STEP = N_MID // R2   # baseband samples per step (300)
     STEPS = SIGNAL_SAMPLES // BB_STEP  # 150 steps per 120 s window
     raw_len = N_MID * R1 + STAGE1_TAPS - R1
@@ -271,25 +279,25 @@ def main() -> None:
     cont_q = jnp.asarray(wq[:DC])
 
     @jax.jit
-    def _fe_window(key0, step0, m2i, m2q):
+    def _fe_window(ri, rq, m2i, m2q):
         """One 120 s window of the device chain in ONE dispatch: a
-        lax.scan over the 150 fused front-end steps, raw uint8
-        generated on device inside the scan body. Per-dispatch cost
+        lax.scan over the 150 fused front-end steps. Per-dispatch cost
         (tunnel RTT / launch) amortizes over the whole window instead
-        of being paid 150x."""
+        of being paid 150x. The raw block is pre-generated ONCE and
+        replayed each step — front-end DSP cost is content-independent
+        (the host e2e's _LoadBank applies the same policy), and
+        generating 245 MB of fresh threefry per step would time the
+        PRNG, not the ingest chain; decode load comes from the mixed-in
+        content windows."""
         import jax.lax as lax
 
-        def body(carry, i):
+        def body(carry, _):
             ci_, cq_ = carry
-            k = jax.random.fold_in(key0, step0 + i)
-            ki, kq = jax.random.split(k)
-            ri = jax.random.randint(ki, (DC, raw_len), 0, 256, jnp.uint8)
-            rq = jax.random.randint(kq, (DC, raw_len), 0, 256, jnp.uint8)
             oi, oq, ni, nq = _fused_frontend_step(ri, rq, ci_, cq_, N_MID)
             return (ni, nq), (oi, oq)
 
         (m2i, m2q), (ois, oqs) = lax.scan(
-            body, (m2i, m2q), jnp.arange(STEPS, dtype=jnp.int32))
+            body, (m2i, m2q), None, length=STEPS)
         bb_i = jnp.moveaxis(ois, 0, 1).reshape(DC, -1)
         bb_q = jnp.moveaxis(oqs, 0, 1).reshape(DC, -1)
         return bb_i, bb_q, m2i, m2q
@@ -307,12 +315,13 @@ def main() -> None:
         return zi * sc, zq * sc
 
     def _dev_windows(n_windows, seed):
-        key = jax.random.PRNGKey(seed)
+        ki, kq = jax.random.split(jax.random.PRNGKey(seed))
+        ri = jax.random.randint(ki, (DC, raw_len), 0, 256, jnp.uint8)
+        rq = jax.random.randint(kq, (DC, raw_len), 0, 256, jnp.uint8)
         m2i = jnp.zeros((DC, tail2), jnp.float32)
         m2q = jnp.zeros((DC, tail2), jnp.float32)
-        for w in range(n_windows):
-            bb_i, bb_q, m2i, m2q = _fe_window(
-                key, jnp.int32(w * STEPS), m2i, m2q)
+        for _ in range(n_windows):
+            bb_i, bb_q, m2i, m2q = _fe_window(ri, rq, m2i, m2q)
             dwi, dwq = _assemble_win(bb_i[:, :SIGNAL_SAMPLES],
                                      bb_q[:, :SIGNAL_SAMPLES],
                                      cont_i, cont_q)
