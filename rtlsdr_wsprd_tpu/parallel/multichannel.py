@@ -384,6 +384,22 @@ def _default_fec_mode() -> str:
     return "host" if tunneled else "hybrid"
 
 
+def _map_lanes(fn, items):
+    """Map ``fn`` over independent FEC lanes, threaded when the host
+    has cores to spare (the per-lane native decode releases the GIL);
+    plain loop on a 1-core host to avoid pool overhead. Results keep
+    input order."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(16, _os.cpu_count() or 1)
+    items = list(items)
+    if workers <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    with ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(fn, items))
+
+
 def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
                                pre_syms: np.ndarray, fetch_rest,
                                delta: int, maxcycles: int):
@@ -398,35 +414,56 @@ def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
     J, G = gate.shape
     M = pre_j.shape[1]
     t0 = time.perf_counter()
-    n_att = 0
+    n_att = [0] * G
     decoded: dict[int, tuple[int, bytes, int]] = {}
     deferred: list[tuple[int, int]] = []  # (lane, schedule pos to resume)
-    for g in range(G):
+
+    # lanes are independent (first success is PER LANE) and the ctypes
+    # decode releases the GIL, so lanes run threaded — undecodable
+    # gate-passers each burn a full ~11 ms search budget (the
+    # reference's 810k-cycle cap), which is the whole cost of this
+    # phase; threads divide it by the core count (1 here, ~n on
+    # production hosts). Same pattern as native.fano_decode_many.
+    def one_lane(g):
         js = np.nonzero(gate[:, g])[0]
         for idx, j in enumerate(js):
             if idx >= M:
-                deferred.append((g, idx))
-                break
+                return ("defer", idx)
             assert pre_j[g, idx] == j, "prefetch/schedule mismatch"
-            n_att += 1
+            n_att[g] += 1
             ok, data, cycles, _m = native.fano_decode(
                 pre_syms[g, idx], _METTAB, delta=delta, maxcycles=maxcycles)
             if ok:
-                decoded[g] = (int(j), bytes(data), int(cycles))
-                break
+                return ("ok", (int(j), bytes(data), int(cycles)))
+        return None
+
+    results = _map_lanes(one_lane, range(G))
+    for g, r in enumerate(results):
+        if r is None:
+            continue
+        if r[0] == "ok":
+            decoded[g] = r[1]
+        else:
+            deferred.append((g, r[1]))
     if deferred:
         cols = fetch_rest([g for g, _ in deferred])  # (L, J, 162)
-        for li, (g, start) in enumerate(deferred):
+
+        def one_deferred(item):
+            li, (g, start) = item
             js = np.nonzero(gate[:, g])[0]
             for j in js[start:]:
-                n_att += 1
+                n_att[g] += 1
                 ok, data, cycles, _m = native.fano_decode(
                     cols[li, j], _METTAB, delta=delta, maxcycles=maxcycles)
                 if ok:
-                    decoded[g] = (int(j), bytes(data), int(cycles))
-                    break
+                    return g, (int(j), bytes(data), int(cycles))
+            return None
+
+        for r in _map_lanes(one_deferred, list(enumerate(deferred))):
+            if r is not None:
+                decoded[r[0]] = r[1]
     _LOG.debug("fano host: %d attempts (%d deferred lanes), %d decodes, "
-               "%.0f ms", n_att, len(deferred), len(decoded),
+               "%.0f ms", sum(n_att), len(deferred), len(decoded),
                1e3 * (time.perf_counter() - t0))
     return decoded
 
@@ -440,18 +477,23 @@ def _fano_rounds_host(gate: np.ndarray, deint: np.ndarray, delta: int,
     the hybrid path bit for bit."""
     J, G = gate.shape
     t0 = time.perf_counter()
-    n_att = 0
+    n_att = [0] * G
     decoded: dict[int, tuple[int, bytes, int]] = {}
-    for g in range(G):
+
+    def one_lane(g):
         for j in np.nonzero(gate[:, g])[0]:
-            n_att += 1
+            n_att[g] += 1
             ok, data, cycles, _m = native.fano_decode(
                 deint[j, g], _METTAB, delta=delta, maxcycles=maxcycles)
             if ok:
-                decoded[g] = (int(j), bytes(data), int(cycles))
-                break
+                return int(j), bytes(data), int(cycles)
+        return None
+
+    for g, r in enumerate(_map_lanes(one_lane, range(G))):
+        if r is not None:
+            decoded[g] = r
     _LOG.debug("fano host: %d attempts, %d decodes, %.0f ms",
-               n_att, len(decoded), 1e3 * (time.perf_counter() - t0))
+               sum(n_att), len(decoded), 1e3 * (time.perf_counter() - t0))
     return decoded
 
 
