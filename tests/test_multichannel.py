@@ -140,6 +140,46 @@ def test_pipelined_multidevice_matches_and_places(batch3, monkeypatch):
     assert len({str(d) for d in placed}) == 3
 
 
+def test_pipelined_multidevice_isolates_failed_shard(batch3, monkeypatch):
+    """A shard whose decode fails yields empty lists for ITS channels
+    only; the other chips' results for the same batch survive (per-
+    shard isolation, the multi-chip analog of per-window isolation)."""
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+
+    options = DecoderOptions(quickmode=True)
+    wi = np.stack([i for i, q in batch3])
+    wq = np.stack([q for i, q in batch3])
+    real = mc.decode_channels
+    made = []
+    orig_pw = mc.prepare_windows
+
+    def spy_pw(*a, **kw):
+        h = orig_pw(*a, **kw)
+        made.append(h)
+        return h
+
+    def flaky(*args, **kwargs):
+        # shards run concurrently, so poison by HANDLE (shard 1 =
+        # channel 1; one channel per shard), not by call order
+        if len(made) > 1 and kwargs.get("windows") is made[1]:
+            raise RuntimeError("dead chip")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(mc, "prepare_windows", spy_pw)
+    monkeypatch.setattr(mc, "decode_channels", flaky)
+    errors = []
+    out = list(mc.decode_channels_pipelined_multidevice(
+        iter([(wi, wq)]), options, devices=jax.devices()[:3],
+        device_batch=1, on_error=errors.append))
+    assert len(errors) == 1 and "dead chip" in str(errors[0])
+    assert len(out) == 1 and len(out[0]) == 3
+    assert out[0][1] == []  # the failed shard's channel: no spots
+    single = decode_channels(wi, wq, options, device_batch=3)
+    for ch in (0, 2):  # surviving shards match the single-device decode
+        assert (sorted((s.call, s.loc, s.pwr) for s in out[0][ch])
+                == sorted((s.call, s.loc, s.pwr) for s in single[ch]))
+
+
 def test_multichannel_sharded_over_mesh(batch3):
     """Sharded and unsharded device steps produce identical arrays.
 
