@@ -271,6 +271,8 @@ def main() -> None:
     # 150 x RTT; on PCIe hosts the step size is throughput-neutral.
     N_MID = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_NMID",
                                120_000))
+    assert N_MID % R2 == 0 and SIGNAL_SAMPLES % (N_MID // R2) == 0, \
+        "E2E_NMID must be a multiple of 80 whose baseband step divides 45000"
     BB_STEP = N_MID // R2   # baseband samples per step (300)
     STEPS = SIGNAL_SAMPLES // BB_STEP  # 150 steps per 120 s window
     raw_len = N_MID * R1 + STAGE1_TAPS - R1
