@@ -266,8 +266,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         source = SyntheticRawSource()
 
+    # background delivery: a slow wsprnet never eats the 2-min cadence
+    # (the C's decoder thread blocks on curl, rtlsdr_wsprd.c:324)
     reporter = WsprnetReporter(dec.rcall, dec.rloc, dialfreq,
-                               noreport=rx.noreport)
+                               noreport=rx.noreport, background=True)
     daemon = WsprDaemon(source, dec, reporter=reporter,
                         write_prefix=args.writefile)
     align = not args.no_align
@@ -285,9 +287,8 @@ def main(argv: list[str] | None = None) -> int:
         daemon.run(maxloop=rx.maxloop, align=align)
     except KeyboardInterrupt:
         print("Shutting down...")
-        if reporter is not None:
-            reporter.flush()
     finally:
+        reporter.close()  # join worker + final delivery attempt
         source.close()
         st = daemon.stats
         up = time.time() - st.started

