@@ -147,7 +147,7 @@ extern "C" {
 // (rtlsdr_wsprd_tpu/native/__init__.py) refuses to bind a .so whose
 // ABI does not match, so a stale prebuilt library can never be called
 // with mismatched expectations (it falls back to the Python paths).
-int wspr_hostdsp_abi(void) { return 3; }
+int wspr_hostdsp_abi(void) { return 4; }
 
 // ---- lookup3 ---------------------------------------------------------------
 
@@ -223,10 +223,14 @@ void wspr_conv_encode(const uint8_t* data, uint8_t* symbols, int nsym) {
 // out_cycles: cycle count, C semantics (success: break iter + 1;
 //             timeout: total + 2)
 // out_metric: final path metric
+// out_maxnp:  deepest node index reached (the C's 'progress before
+//             timeout' return, wsprd/fano.c:89,154: updated with the
+//             CURRENT position at the top of every cycle)
 // returns 1 on success, 0 on timeout.
 int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
                      int32_t delta, uint32_t maxcycles, uint8_t* out_data,
-                     uint32_t* out_cycles, int32_t* out_metric) {
+                     uint32_t* out_cycles, int32_t* out_metric,
+                     int32_t* out_maxnp) {
   // per-node branch metrics indexed by tx symbol (2 bits)
   int32_t met[kNBits][4];
   const int32_t* m0 = mettab;
@@ -268,9 +272,11 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
 
   int pos = 0;
   int32_t t = 0;
+  int32_t maxnp = 0;
   const uint64_t max_total = uint64_t(maxcycles) * kNBits;
 
   for (uint64_t i = 1;; ++i) {
+    if (pos > maxnp) maxnp = pos;
     Node& cur = nd[pos];
     const int32_t ngamma = cur.gamma + cur.tm[cur.branch];
     if (ngamma >= t) {
@@ -285,6 +291,7 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
         const bool ok = i < max_total;
         *out_metric = ngamma;
         *out_cycles = static_cast<uint32_t>(i + 1);
+        *out_maxnp = maxnp;
         for (int k = 0; k < 10; ++k) {
           out_data[k] = static_cast<uint8_t>(nd[7 + 8 * k].enc & 0xFF);
         }
@@ -328,6 +335,7 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
     if (i >= max_total) {
       *out_metric = nd[pos].gamma;
       *out_cycles = static_cast<uint32_t>(max_total + 2);
+      *out_maxnp = maxnp;
       std::memset(out_data, 0, 11);
       return 0;
     }

@@ -30,7 +30,7 @@ _lib = None
 # entry point is added/removed/changed. A mismatched (stale prebuilt)
 # library is rejected outright — every caller then takes its
 # pure-Python fallback — instead of binding a partial symbol set.
-_ABI = 3
+_ABI = 4
 
 
 def _build() -> bool:
@@ -80,7 +80,8 @@ def _load():
 
     lib.wspr_fano_decode.argtypes = [
         u8p, i32p, ctypes.c_int32, ctypes.c_uint32, u8p,
-        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32)]
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.wspr_fano_decode.restype = ctypes.c_int
 
     lib.wspr_conv_encode.argtypes = [u8p, u8p, ctypes.c_int]
@@ -133,7 +134,10 @@ def nhash(callsign: str | bytes) -> int:
 def fano_decode(symbols: np.ndarray, mettab: np.ndarray,
                 delta: int = 60, maxcycles: int = 10000):
     """Sequential host Fano. symbols: uint8[162] (deinterleaved);
-    mettab: int32[2, 256]. Returns (success, data[11], cycles, metric).
+    mettab: int32[2, 256]. Returns (success, data[11], cycles, metric,
+    maxnp) — full result parity with the reference's fano()
+    (wsprd/fano.c:87-95: metric, cycles, maxnp = progress before
+    timeout) and with ops.fano.batched_fano.
     """
     lib = _load()
     if lib is None:
@@ -145,10 +149,12 @@ def fano_decode(symbols: np.ndarray, mettab: np.ndarray,
     data = np.zeros(11, np.uint8)
     cycles = ctypes.c_uint32(0)
     metric = ctypes.c_int32(0)
+    maxnp = ctypes.c_int32(0)
     ok = lib.wspr_fano_decode(symbols, mettab.reshape(-1), delta, maxcycles,
                               data, ctypes.byref(cycles),
-                              ctypes.byref(metric))
-    return bool(ok), data, int(cycles.value), int(metric.value)
+                              ctypes.byref(metric), ctypes.byref(maxnp))
+    return (bool(ok), data, int(cycles.value), int(metric.value),
+            int(maxnp.value))
 
 
 def fano_decode_many(symbols: np.ndarray, mettab: np.ndarray,
@@ -158,10 +164,11 @@ def fano_decode_many(symbols: np.ndarray, mettab: np.ndarray,
     releases the GIL). symbols: uint8[N, 162] deinterleaved.
 
     Returns (success bool[N], data uint8[N, 11], cycles uint32[N],
-    metric int32[N]). Used as the straggler path of the hybrid FEC
-    decode: lanes whose search outruns the device budget are re-run
-    here from scratch — Fano is deterministic, so results equal a
-    full-budget run bit for bit (semantics of wsprd/fano.c).
+    metric int32[N], maxnp int32[N]). Used as the straggler path of
+    the hybrid FEC decode: lanes whose search outruns the device
+    budget are re-run here from scratch — Fano is deterministic, so
+    results equal a full-budget run bit for bit (semantics of
+    wsprd/fano.c).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -170,16 +177,18 @@ def fano_decode_many(symbols: np.ndarray, mettab: np.ndarray,
     data = np.zeros((n, 11), np.uint8)
     cycles = np.zeros(n, np.uint32)
     metric = np.zeros(n, np.int32)
+    maxnp = np.zeros(n, np.int32)
     if n == 0:
-        return success, data, cycles, metric
+        return success, data, cycles, metric, maxnp
     mettab = np.ascontiguousarray(mettab, np.int32)
 
     def run(k):
-        ok, d, c, m = fano_decode(symbols[k], mettab, delta, maxcycles)
+        ok, d, c, m, mn = fano_decode(symbols[k], mettab, delta, maxcycles)
         success[k] = ok
         data[k] = d
         cycles[k] = c
         metric[k] = m
+        maxnp[k] = mn
 
     if n == 1 or threads <= 1:
         for k in range(n):
@@ -187,7 +196,7 @@ def fano_decode_many(symbols: np.ndarray, mettab: np.ndarray,
     else:
         with ThreadPoolExecutor(max_workers=min(threads, n)) as ex:
             list(ex.map(run, range(n)))
-    return success, data, cycles, metric
+    return success, data, cycles, metric, maxnp
 
 
 def conv_encode(data: np.ndarray, nsym: int = 162) -> np.ndarray:

@@ -54,7 +54,7 @@ def host_finish(deint_symbols: np.ndarray, success: np.ndarray,
     if idx.size == 0:
         return success, data, cycles
     if native.AVAILABLE:
-        ok, d, c, _m = native.fano_decode_many(
+        ok, d, c, _m, _np = native.fano_decode_many(
             deint_symbols[idx], _METTAB, delta=delta, maxcycles=maxcycles)
     else:  # pure-JAX fallback: full budget on the device/CPU backend
         import jax.numpy as jnp

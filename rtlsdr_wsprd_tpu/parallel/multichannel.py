@@ -440,7 +440,7 @@ def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
                              g, idx, int(pre_j[g, idx]), int(j))
                 return ("defer", idx)
             n_att[g] += 1
-            ok, data, cycles, _m = native.fano_decode(
+            ok, data, cycles, _m, _np = native.fano_decode(
                 pre_syms[g, idx], _METTAB, delta=delta, maxcycles=maxcycles)
             if ok:
                 return ("ok", (int(j), bytes(data), int(cycles)))
@@ -462,7 +462,7 @@ def _fano_rounds_host_prefetch(gate: np.ndarray, pre_j: np.ndarray,
             js = np.nonzero(gate[:, g])[0]
             for j in js[start:]:
                 n_att[g] += 1
-                ok, data, cycles, _m = native.fano_decode(
+                ok, data, cycles, _m, _np = native.fano_decode(
                     cols[li, j], _METTAB, delta=delta, maxcycles=maxcycles)
                 if ok:
                     return g, (int(j), bytes(data), int(cycles))
@@ -492,7 +492,7 @@ def _fano_rounds_host(gate: np.ndarray, deint: np.ndarray, delta: int,
     def one_lane(g):
         for j in np.nonzero(gate[:, g])[0]:
             n_att[g] += 1
-            ok, data, cycles, _m = native.fano_decode(
+            ok, data, cycles, _m, _np = native.fano_decode(
                 deint[j, g], _METTAB, delta=delta, maxcycles=maxcycles)
             if ok:
                 return int(j), bytes(data), int(cycles)

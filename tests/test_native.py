@@ -64,10 +64,14 @@ def test_fano_oracle_matches_batched():
                        delta=60, maxcycles=200)
     n_success = 0
     for k, symbols in enumerate(cases):
-        ok, data, cycles, metric = native.fano_decode(
+        ok, data, cycles, metric, maxnp = native.fano_decode(
             symbols, mettab, delta=60, maxcycles=200)
         assert ok == bool(res.success[k]), f"case {k}"
         assert cycles == int(res.cycles[k]), f"case {k}"
+        # maxnp (deepest node reached) must also match the device
+        # decoder, which is itself pinned to the C oracle's maxnp
+        # (tests/test_fano.py) — full fano() result parity
+        assert maxnp == int(res.maxnp[k]), f"case {k}"
         if ok:
             n_success += 1
             assert metric == int(res.metric[k]), f"case {k}"
