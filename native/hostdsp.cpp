@@ -244,29 +244,47 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
     met[n][3] = m1[s0] + m1[s1];
   }
 
-  struct Node {
+  // The walk below is this decoder's hot loop: a full-budget timeout
+  // steps it maxcycles*81 ~= 810k times, the cost that dominates the
+  // staged path's FEC phase on undecodable gate-passers. Two layout
+  // choices bought a measured 1.6x (vs the memory-resident walk; same
+  // automaton, bit-exact incl. cycle counts and maxnp):
+  //  * the CURRENT node lives in registers; nd[pos] is written only on
+  //    forward-leave, so the dominant fwd->fwd step never pays a
+  //    store->load round trip (the search thrashes at the frontier:
+  //    measured average forward run is ~1.3 moves, 44% of iterations
+  //    are backtracks);
+  //  * nodes are padded to 32 bytes (one shift for nd[pos], never
+  //    straddling a cache line), and the threshold tighten is an add
+  //    loop (quotient almost always 0/1) instead of an integer divide.
+  // nd[k] for k < pos is always fresh (written when the walk last left
+  // k moving forward; backtracking below a node abandons its state,
+  // which the automaton never reads again before reinitializing it).
+  struct alignas(32) Node {
     int32_t gamma;
     uint32_t enc;
-    int32_t tm[2];
+    int32_t tm0, tm1;
     int32_t branch;
   };
   Node nd[kNBits + 1];
+  int32_t cg, ctm0, ctm1, cbr;
+  uint32_t cenc;
 
   // root: encoder output for the 0-branch of an all-zero state is
   // symbol 0; the complement branch sees symbol 3
   {
     const int32_t b0 = met[0][0];
     const int32_t b1 = met[0][3];
-    nd[0].gamma = 0;
-    nd[0].branch = 0;
+    cg = 0;
+    cbr = 0;
     if (b0 > b1) {
-      nd[0].enc = 0;
-      nd[0].tm[0] = b0;
-      nd[0].tm[1] = b1;
+      cenc = 0;
+      ctm0 = b0;
+      ctm1 = b1;
     } else {
-      nd[0].enc = 1;
-      nd[0].tm[0] = b1;
-      nd[0].tm[1] = b0;
+      cenc = 1;
+      ctm0 = b1;
+      ctm1 = b0;
     }
   }
 
@@ -276,17 +294,20 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
   const uint64_t max_total = uint64_t(maxcycles) * kNBits;
 
   for (uint64_t i = 1;; ++i) {
-    if (pos > maxnp) maxnp = pos;
-    Node& cur = nd[pos];
-    const int32_t ngamma = cur.gamma + cur.tm[cur.branch];
+    maxnp = pos > maxnp ? pos : maxnp;  // cmov, no branch
+    const int32_t ngamma = cg + (cbr ? ctm1 : ctm0);
     if (ngamma >= t) {
       // forward move; tighten threshold on first visits
-      if (cur.gamma < t + delta) t += delta * ((ngamma - t) / delta);
+      if (cg < t + delta) {
+        while (ngamma >= t + delta) t += delta;
+      }
+      nd[pos].gamma = cg;
+      nd[pos].enc = cenc;
+      nd[pos].tm0 = ctm0;
+      nd[pos].tm1 = ctm1;
+      nd[pos].branch = cbr;
       const int newpos = pos + 1;
-      Node& nxt = nd[newpos];
-      nxt.gamma = ngamma;
-      const uint32_t enc_new = cur.enc << 1;
-      nxt.enc = enc_new;
+      const uint32_t enc_new = cenc << 1;
       if (newpos == kNBits) {
         const bool ok = i < max_total;
         *out_metric = ngamma;
@@ -301,39 +322,46 @@ int wspr_fano_decode(const uint8_t* symbols, const int32_t* mettab,
       const int lsym = encode_sym(enc_new);
       const int32_t b0 = met[newpos][lsym];
       const int32_t b1 = met[newpos][3 ^ lsym];
+      cg = ngamma;
       if (newpos >= kTail) {
-        nxt.tm[0] = b0;  // tail explores only the 0-branch
-      } else if (b0 > b1) {
-        nxt.tm[0] = b0;
-        nxt.tm[1] = b1;
+        cenc = enc_new;
+        ctm0 = b0;  // tail explores only the 0-branch
       } else {
-        nxt.tm[0] = b1;
-        nxt.tm[1] = b0;
-        nxt.enc = enc_new + 1;
+        // branchless ordering (cmov): best branch first; complement
+        // encoded bit when the 1-branch wins (ties go to the 1-branch,
+        // as in the reference)
+        ctm0 = b0 > b1 ? b0 : b1;
+        ctm1 = b0 > b1 ? b1 : b0;
+        cenc = enc_new + (b0 <= b1);
       }
-      nxt.branch = 0;
+      cbr = 0;
       pos = newpos;
     } else {
       // backtrack walk
       for (;;) {
         if (pos == 0 || nd[pos - 1].gamma < t) {
           t -= delta;  // origin (or first visit below threshold): relax
-          if (nd[pos].branch != 0) {
-            nd[pos].branch = 0;
-            nd[pos].enc ^= 1;
+          if (cbr != 0) {
+            cbr = 0;
+            cenc ^= 1;
           }
           break;
         }
         --pos;
-        if (pos < kTail && nd[pos].branch != 1) {
-          nd[pos].branch += 1;
-          nd[pos].enc ^= 1;
+        cg = nd[pos].gamma;
+        cenc = nd[pos].enc;
+        ctm0 = nd[pos].tm0;
+        ctm1 = nd[pos].tm1;
+        cbr = nd[pos].branch;
+        if (pos < kTail && cbr != 1) {
+          cbr += 1;
+          cenc ^= 1;
           break;
         }
       }
     }
     if (i >= max_total) {
-      *out_metric = nd[pos].gamma;
+      *out_metric = cg;
       *out_cycles = static_cast<uint32_t>(max_total + 2);
       *out_maxnp = maxnp;
       std::memset(out_data, 0, 11);
