@@ -53,12 +53,9 @@ from ..config import (
 )
 from ..ops.candidates import find_candidates
 from ..ops.coarse import coarse_search
+from ..ops.calibrate import device_fano_budget
 from ..ops.fano import batched_fano, build_mettab
-from ..ops.fano_hybrid import (
-    DEVICE_MAXCYCLES,
-    host_finish,
-    pending_mask,
-)
+from ..ops.fano_hybrid import host_finish, pending_mask
 from ..ops.stft import power_spectrogram
 from ..ops.subtract import subtract_signal2
 from ..ops.sync import fine_sync, jitter_offsets, soft_symbols_jittered
@@ -187,9 +184,10 @@ def decode_window(
             batch = np.zeros((bucket, 162), dtype=np.uint8)
             for a, (c, j) in enumerate(attempts[:bucket]):
                 batch[a] = symbols[j, c]
-            # hybrid FEC: small device budget, host C++ finishes the
-            # stragglers bit-exactly (ops/fano_hybrid.py)
-            dev_mc = min(options.maxcycles, DEVICE_MAXCYCLES)
+            # hybrid FEC: small calibrated device budget, host C++
+            # finishes the stragglers bit-exactly (ops/fano_hybrid.py,
+            # ops/calibrate.py)
+            dev_mc = device_fano_budget(options.maxcycles)
             res = _fano_batch(jnp.asarray(batch),
                               delta=options.delta, maxcycles=dev_mc)
             success = np.asarray(res.success)

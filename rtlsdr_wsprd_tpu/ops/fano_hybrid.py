@@ -25,12 +25,13 @@ from .fano import NBITS, batched_fano, build_mettab
 
 _METTAB = build_mettab()
 
-# device-side budget (cycles per bit, like the C's maxcycles); lanes
-# still searching after budget*81 cycles fall back to the host decoder.
-# Tuned for ~1.5 ms/while-iteration tunnel backends: 16*81*~2 flat
-# steps / 32 unroll ~= 80 loop iterations per Fano call; clean decodes
-# finish in ~1-3 cycles/bit, so stragglers are rare and cost <= 32 ms
-# each on the native path.
+# DEFAULT device-side budget (cycles per bit, like the C's maxcycles);
+# lanes still searching after budget*81 cycles fall back to the host
+# decoder. Clean decodes finish in ~1-3 cycles/bit, so stragglers are
+# rare. Production paths use the per-backend MEASURED value instead
+# (ops/calibrate.py device_fano_budget: while-iteration marginal cost
+# vs native decode cost); this constant is the fallback and the
+# deterministic dryrun/compile-check value.
 DEVICE_MAXCYCLES = 16
 
 

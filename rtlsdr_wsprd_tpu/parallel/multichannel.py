@@ -33,7 +33,6 @@ Host code only unpacks messages, dedupes and drives the pass loop.
 from __future__ import annotations
 
 import logging
-import os
 import time
 from functools import partial
 from typing import NamedTuple
@@ -54,11 +53,7 @@ from ..models.decoder import Spot
 from ..ops.candidates import find_candidates
 from ..ops.coarse import coarse_search
 from ..ops.fano import batched_fano, build_mettab
-from ..ops.fano_hybrid import (
-    DEVICE_MAXCYCLES,
-    host_finish,
-    pending_mask,
-)
+from ..ops.fano_hybrid import host_finish, pending_mask
 from ..ops.stft import power_spectrogram
 from ..ops.subtract import (
     subtract_rows,
@@ -361,27 +356,27 @@ def _fano_batch_packed(deint, valid, *, delta, maxcycles):
 
 
 def _default_fec_mode() -> str:
-    """'host' on RPC-tunneled backends, 'hybrid' otherwise.
+    """Backend-calibrated host/hybrid choice (ops/calibrate.py).
 
     A tunneled while_loop costs ~1.5 ms PER ITERATION, so one device
     Fano round pays >100 ms in loop latency alone — while the native
     sequential decoder (native/hostdsp.cpp) finishes a clean attempt in
-    ~25 us and even a full-budget timeout in ~11 ms. On such backends
+    ~25 us and even a full-budget timeout in ~12 ms. On such backends
     host-first FEC wins outright; locally attached chips keep the
-    batched device search with host straggler finish.
+    batched device search with host straggler finish. The decision is
+    MEASURED per backend at first use (while-iteration marginal cost vs
+    native decode cost), with a platform sniff shortcutting known RPC
+    tunnels and RTLSDR_WSPRD_TPU_FEC pinning it outright."""
+    from ..ops.calibrate import get_fec_calibration
 
-    Tunnel detection: the PJRT client's platform_version names the
-    plugin ("axon x.y.z ..."), which holds however the platform was
-    selected; the env var is the fallback when no backend is up yet."""
-    if not native.AVAILABLE:
-        return "hybrid"
-    try:
-        pv = str(getattr(jax.devices()[0].client, "platform_version", ""))
-    except Exception:
-        pv = ""
-    tunneled = ("axon" in pv.lower()
-                or "axon" in os.environ.get("JAX_PLATFORMS", ""))
-    return "host" if tunneled else "hybrid"
+    return get_fec_calibration().mode
+
+
+def _device_fano_budget(full_maxcycles: int) -> int:
+    """Calibrated device-side Fano budget (ops/calibrate.py)."""
+    from ..ops.calibrate import device_fano_budget
+
+    return device_fano_budget(full_maxcycles)
 
 
 def _map_lanes(fn, items):
@@ -606,7 +601,7 @@ def _finish_stragglers(out: ChannelDecode,
     """Host side of the hybrid FEC decode: lanes that hit the device
     Fano budget re-run on the native sequential decoder with the full
     reference budget (ops/fano_hybrid.py)."""
-    dev_mc = min(options.maxcycles, DEVICE_MAXCYCLES)
+    dev_mc = _device_fano_budget(options.maxcycles)
     B, K = out.success.shape
     succ = out.success.reshape(-1)
     cyc = out.cycles.reshape(-1)
@@ -1111,9 +1106,9 @@ def decode_channels(
         symfac=options.symfac, minsync1=options.minsync1,
         minsync2=options.minsync2, minrms=options.minrms,
         max_attempts=max_attempts, delta=options.delta,
-        # hybrid FEC: the device runs a small budget; stragglers are
-        # finished on the host (_finish_stragglers)
-        maxcycles=min(options.maxcycles, DEVICE_MAXCYCLES),
+        # hybrid FEC: the device runs a small calibrated budget;
+        # stragglers are finished on the host (_finish_stragglers)
+        maxcycles=_device_fano_budget(options.maxcycles),
     )
 
     uniques: list[list[Spot]] = [[] for _ in range(B)]

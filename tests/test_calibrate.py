@@ -1,0 +1,114 @@
+"""Backend FEC calibration (ops/calibrate.py): the constants that
+round 3 hand-tuned are now chosen by measurement (VERDICT r3 item 7)."""
+
+import numpy as np
+import pytest
+
+from rtlsdr_wsprd_tpu import native
+from rtlsdr_wsprd_tpu.ops import calibrate
+from rtlsdr_wsprd_tpu.ops.fano_hybrid import DEVICE_MAXCYCLES
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    calibrate._CACHE.clear()
+    yield
+    calibrate._CACHE.clear()
+
+
+@pytest.mark.skipif(not native.AVAILABLE, reason="no native lib")
+def test_calibration_cpu_is_measured_hybrid():
+    """On the CPU test backend the decision must come from measurement
+    (no sniff shortcut applies) and land on 'hybrid': a CPU while
+    iteration is far cheaper than a native full-budget timeout."""
+    cal = calibrate.get_fec_calibration()
+    assert cal.method == "measured"
+    assert cal.mode == "hybrid"
+    assert cal.while_iter_ms > 0
+    assert cal.native_timeout_ms > cal.native_clean_ms > 0
+    assert cal.device_maxcycles in (16, 64, 256)
+    # memoized: second call returns the identical object
+    assert calibrate.get_fec_calibration() is cal
+
+
+def test_calibration_env_override(monkeypatch):
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "host")
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "8")
+    cal = calibrate.get_fec_calibration()
+    assert (cal.mode, cal.device_maxcycles, cal.method) == ("host", 8, "env")
+
+
+def test_device_budget_never_exceeds_full(monkeypatch):
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "64")
+    assert calibrate.device_fano_budget(10000) == 64
+    assert calibrate.device_fano_budget(4) == 4
+
+
+def test_decision_rule_host_when_loop_dominates(monkeypatch):
+    """Simulated tunnel economics (1.5 ms/iteration) must pick 'host';
+    simulated PCIe economics must pick 'hybrid' with a larger budget."""
+    if not native.AVAILABLE:
+        pytest.skip("no native lib")
+    monkeypatch.setattr(calibrate, "measure_while_iter_ms",
+                        lambda device=None: 1.5)
+    monkeypatch.setattr(calibrate, "measure_native_fano_ms",
+                        lambda: (0.03, 12.0))
+    monkeypatch.setattr(calibrate, "_tunneled", lambda: False)
+    monkeypatch.setattr(calibrate, "_default_unroll", lambda: 32)
+    cal = calibrate.get_fec_calibration()
+    assert cal.mode == "host"
+
+    calibrate._CACHE.clear()
+    monkeypatch.setattr(calibrate, "measure_while_iter_ms",
+                        lambda device=None: 0.015)
+    cal = calibrate.get_fec_calibration()
+    assert cal.mode == "hybrid"
+    # 12 * 32 / (162 * 0.015) ~= 158 -> the 64 bucket
+    assert cal.device_maxcycles == 64
+
+
+def test_sniffed_tunnel_skips_measurement(monkeypatch):
+    if not native.AVAILABLE:
+        pytest.skip("no native lib")
+    monkeypatch.setattr(calibrate, "_tunneled", lambda: True)
+    cal = calibrate.get_fec_calibration()
+    assert cal.mode == "host"
+    assert cal.method == "sniff"
+    assert cal.device_maxcycles == DEVICE_MAXCYCLES
+    assert cal.while_iter_ms == -1.0
+
+
+def test_measure_native_fano_orders_sanely():
+    if not native.AVAILABLE:
+        pytest.skip("no native lib")
+    clean_ms, timeout_ms = calibrate.measure_native_fano_ms(maxcycles=500)
+    assert 0 < clean_ms < timeout_ms
+
+
+def test_measured_budget_formula_brackets():
+    assert calibrate._bucket_budget(10) == 16
+    assert calibrate._bucket_budget(100) == 64
+    assert calibrate._bucket_budget(1000) == 256
+
+
+def test_staged_decode_respects_env_budget(monkeypatch, rng):
+    """The staged path's device Fano budget and its straggler detection
+    must both use the calibrated value (consistency contract of
+    device_fano_budget)."""
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "16")
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel.multichannel import decode_channels
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    i, q = synth_window_at_snr("K1JT FN20 37", snr_db=3.0, f0=-50.0,
+                               seed=77)
+    i, q = normalize_minus3db(i, q)
+    wi = np.stack([i])
+    wq = np.stack([q])
+    spots = decode_channels(wi, wq, DecoderOptions(quickmode=True),
+                            device_batch=1, fec="hybrid")
+    assert [(s.call, s.loc, s.pwr) for s in spots[0]] == \
+        [("K1JT", "FN20", "37")]
