@@ -56,6 +56,116 @@ def make_batch(B: int, seed: int = 11) -> np.ndarray:
     return wi, wq
 
 
+def measure_e2e_device(wi, wq, options, DC: int = 64, DWIN: int = 3,
+                       N_MID: int = 120_000):
+    """End-to-end ingest->spots with DEVICE front-end placement
+    (PCIe-representative): raw uint8 is generated ON DEVICE (this
+    container's RPC tunnel would otherwise be the measured quantity; on
+    a PCIe host the 4.8 MB/s/channel raw upload is noise), runs the
+    fused stage-1+2 front end, assembles device-resident 120 s windows,
+    and decodes them with the FULL schedule via prepare_windows_device
+    — baseband never touches the host. Decode load stays realistic:
+    the caller's mixed-content windows are uploaded once and mixed in
+    at baseband (front-end DSP cost is content-independent; decode
+    cost is not; the added 1/8-peak front-end noise shifts census
+    SNRs < 1 dB).
+
+    ``N_MID``: stage-1 frames per fused step (multiple of R2, and
+    N_MID/R2 must divide 45000). Tunneled backends pay an RPC per
+    device-loop iteration, so fewer/bigger steps per window trade HBM
+    for link latency; sweeping N_MID and extrapolating steps -> 0
+    measures that per-step cost directly (tools/e2e_sweep.py, VERDICT
+    r3 item 4).
+
+    Returns (realtime_channels_per_chip, seconds, steps_per_window).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rtlsdr_wsprd_tpu.config import SIGNAL_SAMPLES
+    from rtlsdr_wsprd_tpu.frontend.decimate import _fused_frontend_step
+    from rtlsdr_wsprd_tpu.frontend.filters import (
+        R1,
+        R2,
+        STAGE1_TAPS,
+        STAGE2_TAPS,
+    )
+    from rtlsdr_wsprd_tpu.parallel.multichannel import (
+        decode_channels_pipelined,
+        prepare_windows_device,
+    )
+
+    assert N_MID % R2 == 0 and SIGNAL_SAMPLES % (N_MID // R2) == 0, \
+        "N_MID must be a multiple of 80 whose baseband step divides 45000"
+    BB_STEP = N_MID // R2            # baseband samples per step
+    STEPS = SIGNAL_SAMPLES // BB_STEP  # steps per 120 s window
+    raw_len = N_MID * R1 + STAGE1_TAPS - R1
+    tail2 = STAGE2_TAPS - R2
+    cont_i = jnp.asarray(wi[:DC])
+    cont_q = jnp.asarray(wq[:DC])
+
+    @jax.jit
+    def _fe_window(ri, rq, m2i, m2q):
+        """One 120 s window of the device chain in ONE dispatch: a
+        lax.scan over the STEPS fused front-end steps. Per-dispatch
+        cost (tunnel RTT / launch) amortizes over the whole window. The
+        raw block is pre-generated ONCE and replayed each step —
+        front-end DSP cost is content-independent (the host e2e's
+        _LoadBank applies the same policy), and generating hundreds of
+        MB of fresh threefry per step would time the PRNG, not the
+        ingest chain; decode load comes from the mixed-in content
+        windows."""
+        import jax.lax as lax
+
+        def body(carry, _):
+            ci_, cq_ = carry
+            oi, oq, ni, nq = _fused_frontend_step(ri, rq, ci_, cq_, N_MID)
+            return (ni, nq), (oi, oq)
+
+        (m2i, m2q), (ois, oqs) = lax.scan(
+            body, (m2i, m2q), None, length=STEPS)
+        bb_i = jnp.moveaxis(ois, 0, 1).reshape(DC, -1)
+        bb_q = jnp.moveaxis(oqs, 0, 1).reshape(DC, -1)
+        return bb_i, bb_q, m2i, m2q
+
+    @jax.jit
+    def _assemble_win(bb_i, bb_q, ci, cq):
+        # scale front-end noise to 1/8 peak, mix with content, then the
+        # per-row -3 dB normalization (rtlsdr_wsprd.c:291-305) on device
+        m = jnp.maximum(jnp.abs(bb_i).max(axis=1), jnp.abs(bb_q).max(axis=1))
+        s = (0.125 / jnp.maximum(m, 1e-24))[:, None]
+        zi = ci + bb_i * s
+        zq = cq + bb_q * s
+        mx = jnp.maximum(jnp.abs(zi).max(axis=1), jnp.abs(zq).max(axis=1))
+        sc = (0.5 / jnp.maximum(mx, 1e-24))[:, None]
+        return zi * sc, zq * sc
+
+    def _dev_windows(n_windows, seed):
+        ki, kq = jax.random.split(jax.random.PRNGKey(seed))
+        ri = jax.random.randint(ki, (DC, raw_len), 0, 256, jnp.uint8)
+        rq = jax.random.randint(kq, (DC, raw_len), 0, 256, jnp.uint8)
+        m2i = jnp.zeros((DC, tail2), jnp.float32)
+        m2q = jnp.zeros((DC, tail2), jnp.float32)
+        for _ in range(n_windows):
+            bb_i, bb_q, m2i, m2q = _fe_window(ri, rq, m2i, m2q)
+            dwi, dwq = _assemble_win(bb_i[:, :SIGNAL_SAMPLES],
+                                     bb_q[:, :SIGNAL_SAMPLES],
+                                     cont_i, cont_q)
+            yield prepare_windows_device(dwi, dwq, device_batch=DC)
+
+    def _dev_e2e(n_windows, seed):
+        t0 = time.perf_counter()
+        for _ in decode_channels_pipelined(_dev_windows(n_windows, seed),
+                                           options, device_batch=DC):
+            pass
+        jax.effects_barrier()
+        return time.perf_counter() - t0
+
+    _dev_e2e(1, 0)  # warm every program in the device chain
+    e2e_dev_dt = _dev_e2e(DWIN, 1)
+    return DC * DWIN * 120.0 / e2e_dev_dt, e2e_dev_dt, STEPS
+
+
 def main() -> None:
     # NB no config overrides here: what this bench measures IS the
     # shipped default (bf16 correlator operands on TPU — the library
@@ -66,6 +176,7 @@ def main() -> None:
     import jax
 
     from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.ops.calibrate import get_fec_calibration
     from rtlsdr_wsprd_tpu.parallel.multichannel import (
         decode_channels,
     )
@@ -106,19 +217,27 @@ def main() -> None:
         prepare_windows,
     )
 
+    # N_RUNS independent steady-state measurements -> median + spread
+    # (VERDICT r3 item 3: one canonical number, variance quantified in
+    # the artifact itself instead of prose)
     iters = 6
-    # fresh handle per iteration: decode subtracts in place on device
-    handles = [prepare_windows(wi, wq, device_batch=DB)
-               for _ in range(iters)]
-    for h in handles:  # rendezvous: every upload landed before timing
-        float(np.asarray(jnp.sum(h.arrays[0][0, :8])))
-    t0 = time.perf_counter()
-    for _ in decode_channels_pipelined(iter(handles), options,
-                                       device_batch=DB):
-        pass
-    jax.effects_barrier()
-    dt = time.perf_counter() - t0
-    windows_per_s = B * iters / dt
+    n_runs = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_RUNS", 5))
+    runs_wps = []
+    for _ in range(n_runs):
+        # fresh handles per run: decode subtracts in place on device
+        handles = [prepare_windows(wi, wq, device_batch=DB)
+                   for _ in range(iters)]
+        for h in handles:  # rendezvous: every upload landed first
+            float(np.asarray(jnp.sum(h.arrays[0][0, :8])))
+        t0 = time.perf_counter()
+        for _ in decode_channels_pipelined(iter(handles), options,
+                                           device_batch=DB):
+            pass
+        jax.effects_barrier()
+        runs_wps.append(B * iters / (time.perf_counter() - t0))
+        del handles
+    runs_wps.sort()
+    windows_per_s = float(np.median(runs_wps))
 
     # transfer-inclusive: same pipeline fed host float arrays (quantize
     # + upload overlap decode 2-deep); link-bound when the tunnel is
@@ -239,107 +358,15 @@ def main() -> None:
     jnp.asarray(blk).max().item()
     link_mbps = blk.nbytes / (time.perf_counter() - t0) / 1e6
 
-    del handles  # release the headline's device-resident windows
-
-    # end-to-end DEVICE placement (PCIe-representative): raw uint8 is
-    # generated ON DEVICE (this container's RPC tunnel would otherwise
-    # be the measured quantity; on a PCIe host the 4.8 MB/s/channel raw
-    # upload is noise), runs the fused stage-1+2 front end, assembles
-    # device-resident 120 s windows, and decodes them with the FULL
-    # schedule via prepare_windows_device — baseband never touches the
-    # host. Decode load stays realistic: the headline's mixed-content
-    # windows are uploaded once and mixed in at baseband (front-end DSP
-    # cost is content-independent; decode cost is not; the added
-    # 1/8-peak front-end noise shifts census SNRs < 1 dB).
-    from rtlsdr_wsprd_tpu.frontend.decimate import _fused_frontend_step
-    from rtlsdr_wsprd_tpu.frontend.filters import (
-        R1,
-        R2,
-        STAGE1_TAPS,
-        STAGE2_TAPS,
-    )
-    from rtlsdr_wsprd_tpu.parallel.multichannel import (
-        prepare_windows_device,
-    )
-
+    # end-to-end DEVICE placement (PCIe-representative); see
+    # measure_e2e_device. N_MID is sweepable (tools/e2e_sweep.py) to
+    # MEASURE the per-scan-step overhead instead of attributing it.
     DC = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_C", 64))
     DWIN = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_W", 3))
-    # stage-1 frames per fused step (multiple of R2, and BB_STEP must
-    # divide SIGNAL_SAMPLES). 120k = 4 s of stream per scan iteration:
-    # tunneled backends pay an RPC per device-loop iteration, so the
-    # window's 30 iterations cost ~0.8 s of link latency instead of
-    # 150 x RTT; on PCIe hosts the step size is throughput-neutral.
     N_MID = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_NMID",
                                120_000))
-    assert N_MID % R2 == 0 and SIGNAL_SAMPLES % (N_MID // R2) == 0, \
-        "E2E_NMID must be a multiple of 80 whose baseband step divides 45000"
-    BB_STEP = N_MID // R2   # baseband samples per step (300)
-    STEPS = SIGNAL_SAMPLES // BB_STEP  # 150 steps per 120 s window
-    raw_len = N_MID * R1 + STAGE1_TAPS - R1
-    tail2 = STAGE2_TAPS - R2
-    cont_i = jnp.asarray(wi[:DC])
-    cont_q = jnp.asarray(wq[:DC])
-
-    @jax.jit
-    def _fe_window(ri, rq, m2i, m2q):
-        """One 120 s window of the device chain in ONE dispatch: a
-        lax.scan over the 150 fused front-end steps. Per-dispatch cost
-        (tunnel RTT / launch) amortizes over the whole window instead
-        of being paid 150x. The raw block is pre-generated ONCE and
-        replayed each step — front-end DSP cost is content-independent
-        (the host e2e's _LoadBank applies the same policy), and
-        generating 245 MB of fresh threefry per step would time the
-        PRNG, not the ingest chain; decode load comes from the mixed-in
-        content windows."""
-        import jax.lax as lax
-
-        def body(carry, _):
-            ci_, cq_ = carry
-            oi, oq, ni, nq = _fused_frontend_step(ri, rq, ci_, cq_, N_MID)
-            return (ni, nq), (oi, oq)
-
-        (m2i, m2q), (ois, oqs) = lax.scan(
-            body, (m2i, m2q), None, length=STEPS)
-        bb_i = jnp.moveaxis(ois, 0, 1).reshape(DC, -1)
-        bb_q = jnp.moveaxis(oqs, 0, 1).reshape(DC, -1)
-        return bb_i, bb_q, m2i, m2q
-
-    @jax.jit
-    def _assemble_win(bb_i, bb_q, ci, cq):
-        # scale front-end noise to 1/8 peak, mix with content, then the
-        # per-row -3 dB normalization (rtlsdr_wsprd.c:291-305) on device
-        m = jnp.maximum(jnp.abs(bb_i).max(axis=1), jnp.abs(bb_q).max(axis=1))
-        s = (0.125 / jnp.maximum(m, 1e-24))[:, None]
-        zi = ci + bb_i * s
-        zq = cq + bb_q * s
-        mx = jnp.maximum(jnp.abs(zi).max(axis=1), jnp.abs(zq).max(axis=1))
-        sc = (0.5 / jnp.maximum(mx, 1e-24))[:, None]
-        return zi * sc, zq * sc
-
-    def _dev_windows(n_windows, seed):
-        ki, kq = jax.random.split(jax.random.PRNGKey(seed))
-        ri = jax.random.randint(ki, (DC, raw_len), 0, 256, jnp.uint8)
-        rq = jax.random.randint(kq, (DC, raw_len), 0, 256, jnp.uint8)
-        m2i = jnp.zeros((DC, tail2), jnp.float32)
-        m2q = jnp.zeros((DC, tail2), jnp.float32)
-        for _ in range(n_windows):
-            bb_i, bb_q, m2i, m2q = _fe_window(ri, rq, m2i, m2q)
-            dwi, dwq = _assemble_win(bb_i[:, :SIGNAL_SAMPLES],
-                                     bb_q[:, :SIGNAL_SAMPLES],
-                                     cont_i, cont_q)
-            yield prepare_windows_device(dwi, dwq, device_batch=DC)
-
-    def _dev_e2e(n_windows, seed):
-        t0 = time.perf_counter()
-        for _ in decode_channels_pipelined(_dev_windows(n_windows, seed),
-                                           options, device_batch=DC):
-            pass
-        jax.effects_barrier()
-        return time.perf_counter() - t0
-
-    _dev_e2e(1, 0)  # warm every program in the device chain
-    e2e_dev_dt = _dev_e2e(DWIN, 1)
-    e2e_dev_channels = DC * DWIN * 120.0 / e2e_dev_dt
+    e2e_dev_channels, _e2e_dev_dt, _steps = measure_e2e_device(
+        wi, wq, options, DC=DC, DWIN=DWIN, N_MID=N_MID)
 
     # candidate syncs/s (BASELINE.json metric): MEASURED — time the
     # stage-A program (which scores the full 512 rows x 32 lags x 9
@@ -375,6 +402,9 @@ def main() -> None:
         "value": round(windows_per_s, 3),
         "unit": "windows/s",
         "vs_baseline": round(windows_per_s / REF_WINDOWS_PER_S, 3),
+        # value = MEDIAN of n_runs independent steady-state runs; the
+        # sorted runs quantify run-to-run variance in the artifact
+        "runs_windows_per_s": [round(r, 1) for r in runs_wps],
         "batch": B,
         "spots_per_batch": n_spots,
         "candidate_syncs_per_s": int(syncs_per_s_measured),
@@ -394,6 +424,12 @@ def main() -> None:
             round(e2e_dev_channels * len(jax.local_devices()), 1),
         "host_frontend_msps_per_core": round(host_fe_msps, 1),
         "host_to_device_mbps": round(link_mbps, 1),
+        # measured FEC strategy constants for THIS backend (VERDICT r3
+        # item 7): while-iteration marginal cost, native decode costs,
+        # and the host/hybrid + budget decision they imply. The bench
+        # forces the measurement even on sniff-shortcut backends.
+        "fec_calibration": get_fec_calibration(
+            force_measure=True).as_dict(),
         "device": str(jax.devices()[0].platform),
     }))
 

@@ -10,7 +10,9 @@ sensitivity is about -28 dB SNR in 2500 Hz (SURVEY.md section 6).
 
 Usage: python tools/snr_sweep.py [trials_per_point] [transfer_dtype]
 (transfer_dtype: int8 default, int16, float32; pass --no-oracle to
-skip the reference run)
+skip the reference run; ``--floor-trials N`` raises the trial count to
+N at the sensitivity floor, SNR <= -29 dB, where ±2/100 sampling noise
+would otherwise swamp the ours-vs-reference delta — VERDICT r3 item 5)
 """
 
 from __future__ import annotations
@@ -34,6 +36,11 @@ MSG = "K1JT FN20 37"
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--no-oracle"]
     use_oracle = "--no-oracle" not in sys.argv
+    floor_trials = 0
+    if "--floor-trials" in args:
+        k = args.index("--floor-trials")
+        floor_trials = int(args[k + 1])
+        del args[k:k + 2]
     trials = int(args[0]) if len(args) > 0 else 32
     tdt = args[1] if len(args) > 1 else "int8"
 
@@ -53,29 +60,35 @@ def main() -> None:
     hdr = f"{'SNR dB':>7} {'ours':>9} {'rate':>6}"
     if oracle:
         hdr += f" {'ref':>9} {'rate':>6} {'ours-ref':>8}"
-    print(hdr + f"  (transfer={tdt}, trials={trials})")
+    print(hdr + f"  (transfer={tdt}, trials={trials}"
+          + (f", floor {floor_trials} at <=-29" if floor_trials else "")
+          + ")")
     for snr in SNRS:
-        wi = np.zeros((trials, 45000), np.float32)
-        wq = np.zeros((trials, 45000), np.float32)
-        for t in range(trials):
+        T = max(trials, floor_trials) if snr <= -29 else trials
+        wi = np.zeros((T, 45000), np.float32)
+        wq = np.zeros((T, 45000), np.float32)
+        for t in range(T):
             f0 = float(rng.uniform(-100, 100))
             i, q = synth_window_at_snr(MSG, snr_db=float(snr), f0=f0,
                                        seed=int(rng.integers(1 << 30)))
             wi[t], wq[t] = normalize_minus3db(i, q)
-        spots = decode_channels(wi, wq, options, device_batch=32,
-                                transfer_dtype=tdt)
-        ours = np.array([any(s.call == "K1JT" and s.loc == "FN20"
-                             for s in ch) for ch in spots])
-        row = f"{snr:>7} {int(ours.sum()):>5}/{trials:<3} " \
-              f"{ours.mean():>6.2f}"
+        ours = np.zeros(T, bool)
+        for b0 in range(0, T, 128):  # bound device residency
+            spots = decode_channels(wi[b0:b0 + 128], wq[b0:b0 + 128],
+                                    options, device_batch=32,
+                                    transfer_dtype=tdt)
+            ours[b0:b0 + 128] = [any(s.call == "K1JT" and s.loc == "FN20"
+                                     for s in ch) for ch in spots]
+        row = f"{snr:>7} {int(ours.sum()):>5}/{T:<3} " \
+              f"{ours.mean():>6.3f}"
         if oracle:
-            ref = np.zeros(trials, bool)
-            for t in range(trials):
+            ref = np.zeros(T, bool)
+            for t in range(T):
                 rs = oracle.wspr_decode_reference(
                     wi[t], wq[t], dialfreq=14095600, workdir=workdir)
                 ref[t] = any(s.call == "K1JT" and s.loc == "FN20"
                              for s in rs)
-            row += f" {int(ref.sum()):>5}/{trials:<3} {ref.mean():>6.2f}" \
+            row += f" {int(ref.sum()):>5}/{T:<3} {ref.mean():>6.3f}" \
                    f" {int(ours.sum()) - int(ref.sum()):>+8d}"
         print(row, flush=True)
 

@@ -30,4 +30,7 @@ timeout 5400 python tools/roofline.py 128 2>&1 | tee "$OUT/roofline.log"
 echo "== staged phase profile (B=512 DB=128) =="
 timeout 5400 python tools/profile_staged.py 512 128 2>&1 | tee "$OUT/profile_staged.log"
 
+echo "== e2e device scan-step sweep =="
+timeout 5400 python tools/e2e_sweep.py 2>&1 | tee "$OUT/e2e_sweep.log"
+
 echo "== done; logs in $OUT =="
