@@ -88,6 +88,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "decodes always teach later type-3 spots "
                         "(reference window order; disables the "
                         "2-deep pipeline overlap)")
+    p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="multi-host mode: jax.distributed coordinator "
+                        "address (rank 0's host); every rank runs this "
+                        "same command with its own --rank")
+    p.add_argument("--nprocs", type=int, default=1, metavar="N",
+                   help="multi-host mode: total process count (the "
+                        "global channel set splits contiguously across "
+                        "ranks; each rank ingests, decodes and reports "
+                        "only its own slice)")
+    p.add_argument("--rank", type=int, default=0, metavar="K",
+                   help="multi-host mode: this process's rank [0, N)")
     p.add_argument("--help", action="help")
     p.add_argument("--version", action="version",
                    version=f"rtlsdr_wsprd_tpu {__version__}")
@@ -106,13 +117,49 @@ def main(argv: list[str] | None = None) -> int:
               " --help for usage...", file=sys.stderr)
         return 1
 
+    # multi-host mode: wire every rank into ONE jax runtime (pod slice
+    # or CPU cluster) before anything touches the backend, then keep
+    # only this rank's contiguous slice of the GLOBAL channel set —
+    # each rank ingests, decodes (on its local chips) and reports its
+    # own channels; sample data never crosses hosts (SURVEY.md
+    # section 5: decode is embarrassingly parallel per window). The
+    # reference's whole live path serves one dongle in one process
+    # (rtlsdr_wsprd.c:126-328); this scales that chain to N hosts.
+    distributed = args.coordinator is not None or args.nprocs > 1
+    sl = slice(None)
+    if distributed:
+        if args.coordinator is None or not 0 <= args.rank < args.nprocs:
+            print("Multi-host mode needs --coordinator HOST:PORT and "
+                  "0 <= --rank < --nprocs.", file=sys.stderr)
+            return 1
+        if args.dials:
+            print("--dial (wideband) decodes ONE dongle's capture; it "
+                  "cannot split across ranks.", file=sys.stderr)
+            return 1
+        from .parallel import distributed as dist
+
+        dist.initialize(coordinator=args.coordinator,
+                        num_processes=args.nprocs, process_id=args.rank)
+        sl = dist.rank_slice(
+            args.synth if args.synth else len(args.endpoint),
+            args.rank, args.nprocs)
+        if sl.start >= sl.stop:
+            print(f"Rank {args.rank}: no channels to serve (more ranks "
+                  "than channels).", file=sys.stderr)
+            return 1
+        import jax
+
+        print(f"Distributed: rank {args.rank}/{args.nprocs} serving "
+              f"channels [{sl.start}, {sl.stop}) on "
+              f"{len(jax.local_devices())} local device(s), "
+              f"{len(jax.devices())} global.")
+
     dialfreqs: list[int] = []
     if args.synth:
-        bank = SyntheticRawBank(args.synth,
-                                f0s=[(37 * k) % 180 - 90.0
-                                     for k in range(args.synth)],
-                                seeds=list(range(1000, 1000 + args.synth)))
-        dialfreqs = [14_095_600] * args.synth
+        f0s = [(37 * k) % 180 - 90.0 for k in range(args.synth)][sl]
+        seeds = list(range(1000, 1000 + args.synth))[sl]
+        bank = SyntheticRawBank(len(f0s), f0s=f0s, seeds=seeds)
+        dialfreqs = [14_095_600] * len(f0s)
     else:
         endpoints = []
         for ep in args.endpoint:
@@ -133,6 +180,10 @@ def main(argv: list[str] | None = None) -> int:
                 autogain=args.autogain, ppm=args.ppm,
                 directsampling=directsampling,
                 reconnect=args.reconnect)))
+        # every rank validates the FULL endpoint list (identical
+        # command line everywhere), then connects only to its own
+        endpoints = endpoints[sl]
+        dialfreqs = dialfreqs[sl]
         bank = RtlTcpBank(endpoints)
 
     channelize = None
@@ -188,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in reporters:
                 r.close()  # join worker + final delivery attempt
     s = daemon.stats
-    print(f"Processed {s.window_batches} window batch(es), "
+    tag = f"[rank {args.rank}] " if distributed else ""
+    print(f"{tag}Processed {s.window_batches} window batch(es), "
           f"{s.channel_windows} channel-windows, {s.spots} spot(s), "
           f"{s.errors} error(s).")
     dropped = getattr(bank, "dropped_bytes", None)

@@ -62,6 +62,22 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(r * per, (r + 1) * per)
 
 
+def rank_slice(n_items: int, rank: int | None = None,
+               nprocs: int | None = None) -> slice:
+    """Partition ``n_items`` channels across ranks, remainder spread
+    over the first ranks (rank k of N owns a contiguous run of
+    ``n_items // N`` or ``n_items // N + 1`` items; every item is owned
+    by exactly one rank). Unlike local_batch_slice this does not
+    require divisibility — it drives the integrated multi-host daemon's
+    channel assignment (multicli --nprocs/--rank), where the channel
+    count is whatever the operator's dongle fleet provides."""
+    r = jax.process_index() if rank is None else rank
+    n = jax.process_count() if nprocs is None else nprocs
+    base, extra = divmod(n_items, n)
+    start = r * base + min(r, extra)
+    return slice(start, start + base + (1 if r < extra else 0))
+
+
 def decode_local_shard(i_windows, q_windows, options=None, hashtable=None,
                        device_batch: int = 64):
     """Production multi-host decode: THIS host's channels through the

@@ -23,10 +23,20 @@ scaling machinery adds on top of perfectly divided work:
   then isolates the jax.distributed runtime overhead instead of also
   charging rank-vs-rank cache thrash to it (the round-2 bound was
   <=35% with both ranks timesharing the core; VERDICT r2 item 8).
+* ``daemon`` mode (N=2 hosts, INTEGRATED): the full multi-host daemon
+  chain per rank — jax.distributed.initialize + rank_slice channel
+  assignment + SyntheticRawBank raw uint8 -> decimate -> window ->
+  staged decode -> spots (runtime/multidaemon.MultiChannelDaemon, the
+  multicli --nprocs surface) — two ranks on half the global channels
+  each vs one solo process on all of them AND on the half set (the
+  fixed-shape baseline). Ingest CPU (raw synthesis + front end) is
+  reported separately from decode CPU so the distributed-runtime
+  overhead is visible on both.
 
 Usage:
     python tools/scaling.py mesh
     python tools/scaling.py dist
+    python tools/scaling.py daemon
 Prints one JSON line per mode. Results recorded in PARITY.md.
 """
 
@@ -173,6 +183,122 @@ def dist_worker(rank: int, nprocs: int, port: int,
         _wait_for(f"{stagger}.{nprocs - 1}")
 
 
+C_GLOBAL = 4  # daemon mode: global synthetic channel count
+
+
+def daemon_worker(rank: int, nprocs: int, port: int,
+                  stagger: str = "", c_override: int = 0) -> None:
+    """One rank of the INTEGRATED multi-host daemon chain (the multicli
+    --nprocs surface without argv plumbing): raw uint8 -> decimate ->
+    window -> staged decode -> spots on this rank's channel slice."""
+    _force_cpu(2)
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel import distributed as dist
+    from rtlsdr_wsprd_tpu.runtime.banks import SyntheticRawBank
+    from rtlsdr_wsprd_tpu.runtime.multidaemon import MultiChannelDaemon
+
+    if nprocs > 1:
+        dist.initialize(coordinator=f"127.0.0.1:{port}",
+                        num_processes=nprocs, process_id=rank)
+        sl = dist.rank_slice(C_GLOBAL, rank, nprocs)
+    else:
+        sl = slice(0, c_override or C_GLOBAL)
+    if stagger and rank > 0:
+        _wait_for(f"{stagger}.{rank - 1}")
+    # multicli's synthetic channel set, rank-sliced
+    f0s = [(37 * k) % 180 - 90.0 for k in range(C_GLOBAL)][sl]
+    seeds = list(range(1000, 1000 + C_GLOBAL))[sl]
+    c_local = len(f0s)
+    opts = DecoderOptions(quickmode=True)
+
+    def run():
+        bank = SyntheticRawBank(c_local, f0s=f0s, seeds=seeds)
+        d = MultiChannelDaemon(bank, opts, quiet=True, device_batch=2)
+        out = d.run(max_windows=1)
+        return d, out
+
+    run()  # warm: compile + caches
+    wall = cpu = ingest = float("inf")
+    for _ in range(2):  # best-of-2 (each run re-synthesizes its raw)
+        w0, c0 = time.perf_counter(), time.process_time()
+        d, out = run()
+        wall = min(wall, time.perf_counter() - w0)
+        cpu = min(cpu, time.process_time() - c0)
+        ingest = min(ingest, d.stats.ingest_seconds)
+        n_spots = sum(len(ch) for ch in out[0])
+        assert n_spots == c_local, (n_spots, c_local)
+    print(json.dumps({
+        "rank": rank, "nprocs": nprocs, "channels": c_local,
+        "wall_s": round(wall, 3), "cpu_s": round(cpu, 3),
+        "ingest_s": round(ingest, 3),
+        "cpu_s_per_channel_window": round(cpu / c_local, 4),
+        "decode_cpu_s_per_channel_window":
+            round((cpu - ingest) / c_local, 4),
+    }), flush=True)
+    if stagger:
+        open(f"{stagger}.{rank}", "w").close()
+        _wait_for(f"{stagger}.{nprocs - 1}")
+
+
+def daemon_mode() -> None:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    import tempfile
+
+    stagger = os.path.join(tempfile.mkdtemp(prefix="wspr_scaling_"),
+                           "rank_done")
+
+    def launch(rank, nprocs, port, c_override=0):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "_daemon_worker",
+             str(rank), str(nprocs), str(port),
+             stagger if nprocs > 1 else "", str(c_override)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd="/root/repo")
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    p1 = launch(0, 1, 0)
+    out1, _ = p1.communicate(timeout=3600)
+    assert p1.returncode == 0, out1[-3000:]
+    base = json.loads(out1.strip().splitlines()[-1])
+    ph = launch(0, 1, 0, c_override=C_GLOBAL // 2)
+    outh, _ = ph.communicate(timeout=3600)
+    assert ph.returncode == 0, outh[-3000:]
+    base_half = json.loads(outh.strip().splitlines()[-1])
+
+    procs = [launch(r, 2, port) for r in (0, 1)]
+    rows = []
+    for p in procs:
+        out, _ = p.communicate(timeout=3600)
+        assert p.returncode == 0, out[-3000:]
+        rows.append(json.loads(out.strip().splitlines()[-1]))
+
+    per_1 = base["cpu_s_per_channel_window"]
+    per_h = base_half["cpu_s_per_channel_window"]
+    per_2 = max(r["cpu_s_per_channel_window"] for r in rows)
+    dec_h = base_half["decode_cpu_s_per_channel_window"]
+    dec_2 = max(r["decode_cpu_s_per_channel_window"] for r in rows)
+    print(json.dumps({
+        "mode": "daemon", "C_global": C_GLOBAL,
+        "one_proc_cpu_s_per_channel_window": per_1,
+        "one_proc_halfset_cpu_s_per_channel_window": per_h,
+        "two_proc_cpu_s_per_channel_window": per_2,
+        # integrated-chain jax.distributed cost at identical work shape
+        "daemon_dist_runtime_overhead": round(per_2 / per_h - 1.0, 4),
+        "daemon_dist_overhead_vs_full_set": round(per_2 / per_1 - 1.0, 4),
+        # decode side only (ingest = raw synthesis + front end removed)
+        "decode_only_dist_runtime_overhead":
+            round(dec_2 / dec_h - 1.0, 4),
+        "ranks": rows,
+    }))
+
+
 def dist_mode() -> None:
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -239,10 +365,17 @@ def main() -> None:
         mesh_mode()
     elif mode == "dist":
         dist_mode()
+    elif mode == "daemon":
+        daemon_mode()
     elif mode == "_worker":
         dist_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                     sys.argv[5] if len(sys.argv) > 5 else "",
                     int(sys.argv[6]) if len(sys.argv) > 6 else 0)
+    elif mode == "_daemon_worker":
+        daemon_worker(int(sys.argv[2]), int(sys.argv[3]),
+                      int(sys.argv[4]),
+                      sys.argv[5] if len(sys.argv) > 5 else "",
+                      int(sys.argv[6]) if len(sys.argv) > 6 else 0)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
