@@ -88,11 +88,34 @@ def _cand_phasor_conj(f0: jnp.ndarray, drift: jnp.ndarray,
     symbol boundaries, wsprd/wsprd.c:174-188). ``ulen=2*NSPERSYM``
     extends the pure exponential over the double-length symbol frames
     used by the offset-tensorized correlator (module docstring).
+
+    bf16 path (the TPU default): the sample-index axis is built by
+    LOG-DOUBLING complex powers — E^u for u in [0, ulen) from 9 planar
+    squaring/append rounds — instead of 2*C*162*ulen transcendental
+    evals. cos/sin are the VPU's slowest ops and this phasor is
+    regenerated three times per stage-B bucket, so the doubling is what
+    moves stage B off its transcendental cap; the ~1e-6 relative error
+    of 9 chained complex products is far below the bf16 truncation the
+    operands get anyway. The float32 (CPU/test) path keeps direct
+    cos/sin so exact-parity tests stay bit-stable.
     """
     cdt = _cdt()
     i = jnp.arange(NSYM, dtype=jnp.float32)
     fp = f0[:, None] + (drift[:, None] / 2.0) * (i[None, :] - NBITS) / NBITS  # (C,162)
     dphi = TWOPIDT * fp  # (C,162)
+    if cdt == jnp.bfloat16:
+        cr = jnp.cos(dphi)            # E^1 = e^{-i dphi}, planar
+        ci = -jnp.sin(dphi)
+        pr = jnp.ones_like(dphi)[..., None]   # E^0
+        pim = jnp.zeros_like(dphi)[..., None]
+        sr, si = cr, ci               # step = E^(2^k)
+        while pr.shape[-1] < ulen:
+            nr = pr * sr[..., None] - pim * si[..., None]
+            ni = pr * si[..., None] + pim * sr[..., None]
+            pr = jnp.concatenate([pr, nr], axis=-1)
+            pim = jnp.concatenate([pim, ni], axis=-1)
+            sr, si = sr * sr - si * si, 2.0 * sr * si
+        return pr[..., :ulen].astype(cdt), pim[..., :ulen].astype(cdt)
     phase = dphi[:, :, None] * jnp.arange(ulen, dtype=jnp.float32)  # (C,162,ulen)
     return (jnp.cos(phase).astype(cdt),
             (-jnp.sin(phase)).astype(cdt))
@@ -217,14 +240,17 @@ def _offset_tone_matrix(offsets: tuple):
 
 def _tone_mags_offsets(wr: jnp.ndarray, wi: jnp.ndarray,
                        freq: jnp.ndarray, drift: jnp.ndarray,
-                       offsets: tuple) -> jnp.ndarray:
+                       offsets: tuple, phasor=None) -> jnp.ndarray:
     """Tone magnitudes at EVERY static window offset in one matmul
     pair: (C, WLEN) windows -> (C, 162, L, 4). Offsets are absolute
-    (relative lag/jitter + HALF_SPAN)."""
+    (relative lag/jitter + HALF_SPAN). ``phasor``: optional
+    precomputed _cand_phasor_conj(freq, drift, ULEN) to share across
+    modes."""
     cdt = _cdt()
     dr = _double_frames(wr)
     di = _double_frames(wi)
-    ecr, eci = _cand_phasor_conj(freq, drift, ulen=ULEN)  # (C,162,512)
+    ecr, eci = (phasor if phasor is not None
+                else _cand_phasor_conj(freq, drift, ulen=ULEN))
     yr, yi = _derotate(dr, di, ecr, eci)
     tr_np, ti_np = _offset_tone_matrix(offsets)
     tr = jnp.asarray(tr_np).astype(cdt)
@@ -263,12 +289,15 @@ def _fine_sync_core(
     # ---- mode 0: lag search — ONE matmul over all lags ----
     rel_lags = np.arange(-128, 129, lagstep, dtype=np.int32)
     offs = tuple(int(r) + HALF_SPAN for r in rel_lags)
-    p = _tone_mags_offsets(wr, wi, freq, drift, offs)   # (C,162,L,4)
+    ec512 = _cand_phasor_conj(freq, drift, ulen=ULEN)   # shared 0/1
+    p = _tone_mags_offsets(wr, wi, freq, drift, offs, phasor=ec512)
     sync_l = _sync_from_powers(jnp.moveaxis(p, 2, 0))   # (L, C)
     best_l = jnp.argmax(sync_l, axis=0)  # first max wins = C lag order
     shift1 = shift + jnp.asarray(rel_lags)[best_l]
 
-    ecr, eci = _cand_phasor_conj(freq, drift)  # (C,162,256) x2
+    # mode 1 reuses mode 0's phasor: E^u powers are identical on the
+    # first NSPERSYM columns (pure exponential)
+    ecr, eci = ec512[0][..., :NSPERSYM], ec512[1][..., :NSPERSYM]
     etr = jnp.asarray(E_TONE_R).astype(cdt)
     eti = jnp.asarray(E_TONE_I).astype(cdt)
 

@@ -203,8 +203,6 @@ def daemon_worker(rank: int, nprocs: int, port: int,
         sl = dist.rank_slice(C_GLOBAL, rank, nprocs)
     else:
         sl = slice(0, c_override or C_GLOBAL)
-    if stagger and rank > 0:
-        _wait_for(f"{stagger}.{rank - 1}")
     # multicli's synthetic channel set, rank-sliced
     f0s = [(37 * k) % 180 - 90.0 for k in range(C_GLOBAL)][sl]
     seeds = list(range(1000, 1000 + C_GLOBAL))[sl]
@@ -217,7 +215,10 @@ def daemon_worker(rank: int, nprocs: int, port: int,
         out = d.run(max_windows=1)
         return d, out
 
-    run()  # warm: compile + caches
+    run()  # warm: compile + caches (CONCURRENT across ranks — only
+    # the timed phase below is staggered, halving the serial span)
+    if stagger and rank > 0:
+        _wait_for(f"{stagger}.{rank - 1}")
     wall = cpu = ingest = float("inf")
     for _ in range(2):  # best-of-2 (each run re-synthesizes its raw)
         w0, c0 = time.perf_counter(), time.process_time()
@@ -273,11 +274,18 @@ def daemon_mode() -> None:
     base_half = json.loads(outh.strip().splitlines()[-1])
 
     procs = [launch(r, 2, port) for r in (0, 1)]
-    rows = []
+    outs = []
     for p in procs:
         out, _ = p.communicate(timeout=3600)
-        assert p.returncode == 0, out[-3000:]
-        rows.append(json.loads(out.strip().splitlines()[-1]))
+        outs.append(out)
+    # assert only after BOTH communicated: a dead rank kills its peer
+    # through the coordination service, and the peer's log alone hides
+    # the root cause
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"rank {r} failed:\n{out[-2000:]}\n---- other rank:\n"
+            f"{outs[1 - r][-2000:]}")
+    rows = [json.loads(o.strip().splitlines()[-1]) for o in outs]
 
     per_1 = base["cpu_s_per_channel_window"]
     per_h = base_half["cpu_s_per_channel_window"]
