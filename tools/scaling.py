@@ -209,9 +209,31 @@ def daemon_worker(rank: int, nprocs: int, port: int,
     c_local = len(f0s)
     opts = DecoderOptions(quickmode=True)
 
+    # pre-render the raw streams ONCE, outside every timer: live
+    # synthesis costs ~50 CPU-s per channel-window — two orders above
+    # the whole decimate+decode chain — and buried the quantity under
+    # test (the distributed runtime's cost on the FRAMEWORK chain) in
+    # synthesis load noise when the first version synthesized per run
+    src = SyntheticRawBank(c_local, f0s=f0s, seeds=seeds)
+    raw_i, raw_q = src.read(2_400_000 * 123)
+
+    class _Replay:
+        n_channels = c_local
+
+        def __init__(self):
+            self._pos = 0
+
+        def read(self, n):
+            lo = self._pos
+            self._pos = min(lo + n, raw_i.shape[1])
+            return raw_i[:, lo:self._pos], raw_q[:, lo:self._pos]
+
+        def close(self):
+            pass
+
     def run():
-        bank = SyntheticRawBank(c_local, f0s=f0s, seeds=seeds)
-        d = MultiChannelDaemon(bank, opts, quiet=True, device_batch=2)
+        d = MultiChannelDaemon(_Replay(), opts, quiet=True,
+                               device_batch=2)
         out = d.run(max_windows=1)
         return d, out
 
