@@ -274,7 +274,10 @@ def main() -> None:
     t0 = time.perf_counter()
     float(np.asarray(x8[0]))
     fe_rtt = time.perf_counter() - t0
-    fe_iters = 16
+    # 128 chained dispatches (~8 link RTTs of device work): a 16-call
+    # chain of this ~2 ms kernel fits inside one RTT's jitter and the
+    # subtraction would time noise, not the kernel
+    fe_iters = 128
     t0 = time.perf_counter()
     for _ in range(fe_iters):
         mI, mQ = decimate_stage1_batched(xI, xQ, n_frames)

@@ -356,3 +356,32 @@ def test_pipelined_on_error_isolates_poisoned_batch(monkeypatch):
     with pytest.raises(RuntimeError):  # default: propagate
         list(mc.decode_channels_pipelined(
             [batch], DecoderOptions(quickmode=True), device_batch=2))
+
+
+def test_drift_estimation_across_model_range():
+    """Drifting signals decode with the RIGHT drift estimate across the
+    full +-4 Hz model range (wsprd/wsprd.c:642-655 comment: deviation
+    +-drift/2, zero at the transmission center — the same model
+    ops/coarse.py scores as one matmul and ops/sync.py refines).
+
+    Pinned because it is a measured divergence FROM the reference in
+    our favor: the reference C's coarse drift compensation (the
+    int-truncated ``ifd`` at wsprd.c:655) misestimates drift on
+    identical samples (synth -2 -> est -4, +2 -> +1 at -10 dB, probed
+    2026-08-20) and loses most |drift|>=2 signals at depth (its +4 row
+    decoded 0/250 in the -27 dB matrix; ours 47-50/50 per cell —
+    tools/sensitivity_matrix.py, PARITY.md)."""
+    options = DecoderOptions(quickmode=True)
+    drifts = [-4.0, -2.0, 0.0, 2.0, 4.0]
+    wi = np.zeros((len(drifts), 45000), np.float32)
+    wq = np.zeros_like(wi)
+    for t, d in enumerate(drifts):
+        wi[t], wq[t] = _window("K1JT FN20 37", -10.0, 0.0, seed=42,
+                               t0=2.0, drift=d)
+    spots = decode_channels(wi, wq, options, device_batch=len(drifts))
+    for d, ch in zip(drifts, spots):
+        got = [s for s in ch if s.call == "K1JT"]
+        assert got, f"drift {d:+.0f}: no decode"
+        assert abs(got[0].drift - d) <= 1.0, (
+            f"drift {d:+.0f}: estimated {got[0].drift}")
+        assert abs(got[0].freq) < 2.0

@@ -58,23 +58,33 @@ def link_rtt() -> float:
     return _RTT
 
 
-def timed(fn, args, iters=16):
+def timed(fn, args, iters=16, min_chain_rtts=8.0):
     """Wall time per call, barrier AMORTIZED over ``iters`` chained
     dispatches: one scalar fetch after the whole chain, minus the
     measured link RTT. The TPU has a single serial compute stream, so
     queueing iters independent dispatches and fetching once times pure
     device execution; the round-1/2 one-barrier-per-call scheme charged
     a full ~26 ms tunnel RTT to EVERY call, drowning any kernel faster
-    than the link (VERDICT r2 weak 3)."""
+    than the link (VERDICT r2 weak 3).
+
+    The chain is LENGTHENED adaptively until it spans >= min_chain_rtts
+    link RTTs: a phase whose whole 16-call chain fits inside one RTT's
+    jitter (the 0.5 ms channelizer step: 8 ms vs a ~30 ms RTT) would
+    otherwise time as ~zero after subtraction and print absurd rates
+    (the 2026-08-20 session's 12.8e9-captures artifact)."""
     out = fn(*args)
     _sync(out)  # warm: compile + first-run
     rtt = link_rtt()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    dt = time.perf_counter() - t0 - rtt
-    return max(dt, 1e-9) / iters, out
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        total = time.perf_counter() - t0
+        if total - rtt >= min_chain_rtts * rtt or iters >= 4096:
+            break
+        iters *= 4
+    return max(total - rtt, 1e-9) / iters, out
 
 
 def jax_leaf(tree):
