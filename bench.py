@@ -364,8 +364,13 @@ def main() -> None:
     # end-to-end DEVICE placement (PCIe-representative); see
     # measure_e2e_device. N_MID is sweepable (tools/e2e_sweep.py) to
     # MEASURE the per-scan-step overhead instead of attributing it.
-    DC = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_C", 64))
-    DWIN = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_W", 3))
+    # C=128 matches the decode path's production DB and roughly doubles
+    # measured channels/chip over C=64 (2026-08-20 shape sweep: 16-29k
+    # vs 8-13k): the per-window host-side fixed cost (lane-compaction
+    # fetch, FEC round trips, spot fetch — RTT-bound on this tunnel)
+    # amortizes over twice the channels
+    DC = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_C", 128))
+    DWIN = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_W", 4))
     N_MID = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_NMID",
                                120_000))
     e2e_dev_channels, _e2e_dev_dt, _steps = measure_e2e_device(
