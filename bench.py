@@ -433,7 +433,7 @@ def main() -> None:
         "host_frontend_msps_per_core": round(host_fe_msps, 1),
         "host_to_device_mbps": round(link_mbps, 1),
         # measured FEC strategy constants for THIS backend (VERDICT r3
-        # item 7): while-iteration marginal cost, native decode costs,
+        # item 7): real device-decoder cycle cost, native decode costs,
         # and the host/hybrid + budget decision they imply. The bench
         # forces the measurement even on sniff-shortcut backends.
         "fec_calibration": get_fec_calibration(

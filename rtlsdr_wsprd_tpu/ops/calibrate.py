@@ -8,25 +8,28 @@ while_loop iteration costs ~1.5 ms) and the host-vs-hybrid mode switch
 small startup measurement, so the constants are chosen by what the
 attached backend actually costs (VERDICT round-3 item 7):
 
-* ``while_iter_ms`` — the marginal cost of ONE ``lax.while_loop``
-  iteration on the backend, measured as the slope between two trip
-  counts of the same compiled tiny loop (differencing cancels the
-  dispatch/fetch overhead). This is the quantity that decides
-  everything: batched device Fano advances ``unroll`` flat steps per
-  while iteration, so one device call at budget ``c`` pays about
-  ``c * 81 * 2 / unroll`` iterations of pure loop latency.
+* ``device_cycle_ms`` — the marginal cost of ONE maxcycle unit of the
+  REAL device decoder (ops/fano.py batched_fano), measured as the
+  slope between two budgets of the actual program on
+  budget-exhausting symbols (differencing cancels dispatch/fetch
+  overhead). Round 4 first measured a bare tiny while_loop instead;
+  that proxy reads ~2.5e-4 ms/iteration on the tunneled chip while
+  the production fano step (wide lane state) costs ~ms there — 4
+  orders apart, and acting on the proxy (budget 256) measured 9.2 s
+  of staged FEC per 512 windows vs 0.28 s for host mode. Calibrate
+  on the program you ship, not a model of it.
 * ``native_timeout_ms`` / ``native_clean_ms`` — one full-budget
   (810k-step) timeout and one clean decode on the native sequential
   decoder (native/hostdsp.cpp), the cost of the host alternative.
 
 Decision rule:
 
-* ``host`` when the cheapest useful device call (budget 16) costs more
-  loop latency than a native full-budget timeout — the device search
-  can never win there (RPC tunnels: 81 iterations x ~1.5 ms >> ~12 ms).
+* ``host`` when the cheapest useful device call (budget 16) costs
+  DECISIVELY more (2x) than a native full-budget timeout — the device
+  search can never win there (the tunneled chip: ~30-100 ms vs ~7 ms).
 * ``hybrid`` otherwise, with the device budget sized so one call's
-  loop latency lands near the native timeout cost, bucketed to
-  {16, 64, 256} so the static-shape compile cache stays small.
+  cost lands near the native timeout cost, bucketed to {16, 64, 256}
+  so the static-shape compile cache stays small.
 
 Known-tunneled backends (the axon plugin) skip the measurement by
 default: learning ``while_iter_ms`` there costs a multi-10-second
@@ -60,7 +63,8 @@ class FecCalibration:
     mode: str                 # 'host' | 'hybrid'
     device_maxcycles: int     # device budget when mode == 'hybrid'
     unroll: int               # flat steps per while iteration (fano.py)
-    while_iter_ms: float      # -1.0 when not measured
+    device_cycle_ms: float    # marginal ms per maxcycle unit of the
+    #                           REAL device decoder; -1.0 = not measured
     native_clean_ms: float    # -1.0 when native unavailable
     native_timeout_ms: float  # -1.0 when native unavailable
     method: str               # 'measured' | 'sniff' | 'env' | 'default'
@@ -91,13 +95,21 @@ def _tunneled() -> bool:
 
 
 def measure_while_iter_ms(device=None, n_lo: int = 64,
-                          n_hi: int = 320) -> float:
+                          n_hi: int = 1024) -> float:
     """Marginal cost of one while_loop iteration, in ms.
 
     One compiled program, two trip counts (the bound is an operand, not
     a static), timed with a scalar-fetch barrier (block_until_ready is
     a no-op on some tunneled backends); the (hi - lo) difference
-    cancels dispatch + fetch overhead."""
+    cancels dispatch + fetch overhead. ``n_hi`` ESCALATES until the
+    difference clears the barrier's own jitter: on an RPC tunnel the
+    fetch round trip wanders by ~10 ms run to run, so a 320-iteration
+    probe of a ~us iteration measured pure noise (the 2026-08-20 bench
+    pair recorded 1e-6 and 7.5e-3 ms for the same chip; direct
+    measurement at 16k iterations gives ~2.5e-4). Escalation is safe
+    against execution watchdogs: it only proceeds while iterations are
+    measuring CHEAP (an expensive-iteration backend resolves at the
+    first rung)."""
     import jax
     import jax.numpy as jnp
 
@@ -114,18 +126,68 @@ def measure_while_iter_ms(device=None, n_lo: int = 64,
     if device is not None:
         x = jax.device_put(x, device)
 
-    def timed(n) -> float:
+    def timed(n) -> tuple[float, float]:
         n = jnp.int32(n)
         float(loop(x, n)[0])  # warm (compile shared across n)
-        best = float("inf")
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             float(loop(x, n)[0])  # scalar fetch = barrier
+            ts.append(time.perf_counter() - t0)
+        return min(ts), max(ts) - min(ts)
+
+    t_lo, jitter = timed(n_lo)
+    while True:
+        t_hi, j_hi = timed(n_hi)
+        jitter = max(jitter, j_hi)
+        if t_hi - t_lo >= 4 * jitter or n_hi >= 65536:
+            break
+        n_hi *= 4
+    return max(1e3 * (t_hi - t_lo) / (n_hi - n_lo), 1e-6)
+
+
+def measure_device_fano_cycle_ms(device=None, lanes: int = 32,
+                                 unroll: int | None = None) -> float:
+    """Marginal cost of ONE maxcycle unit of the REAL device decoder
+    (ops/fano.py batched_fano), in ms: time the actual program on
+    budget-exhausting random symbols at two static budgets and take
+    the slope.
+
+    This replaces the tiny-probe-loop proxy for the hybrid/host
+    decision: a bare 8-float while_loop measures ~2.5e-4 ms/iteration
+    on the tunneled chip, but the production fano step (wide lane
+    state) measures ~ms-scale there — 4 orders apart, and the A/B it
+    mispredicted was not subtle (staged FEC at budget 256: 9.2 s per
+    512 windows vs 0.28 s for host mode, 2026-08-20). Costs two
+    compiles of batched_fano; only run under ``force_measure`` or on
+    non-tunneled backends (get_fec_calibration)."""
+    import jax.numpy as jnp
+
+    from .fano import batched_fano, build_mettab
+
+    if unroll is None:
+        unroll = _default_unroll()
+    mettab = build_mettab()
+    rng = np.random.default_rng(20260821)
+    syms = jnp.asarray(rng.integers(0, 256, (lanes, 2 * NBITS),
+                                    dtype=np.uint8))
+    mt = jnp.asarray(mettab)
+
+    def timed(mc: int) -> float:
+        r = batched_fano(syms, mt, delta=60, maxcycles=mc,
+                         unroll=unroll)
+        float(np.asarray(r[0]).ravel()[0])  # warm + barrier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = batched_fano(syms, mt, delta=60, maxcycles=mc,
+                             unroll=unroll)
+            float(np.asarray(r[0]).ravel()[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(n_lo), timed(n_hi)
-    return max(1e3 * (t_hi - t_lo) / (n_hi - n_lo), 1e-6)
+    t_lo, t_hi = timed(16), timed(48)
+    return max(1e3 * (t_hi - t_lo) / 32.0, 1e-6)
 
 
 def measure_native_fano_ms(maxcycles: int = 10000):
@@ -199,23 +261,23 @@ def get_fec_calibration(device=None,
     else:
         unroll = _default_unroll()
         clean_ms, timeout_ms = measure_native_fano_ms()
-        wi_ms = measure_while_iter_ms(device=device)
-        # one device Fano call at budget c: ~c*81*2/unroll iterations
-        min_call_ms = (16 * NBITS * 2 / unroll) * wi_ms
-        if min_call_ms > timeout_ms:
+        cyc_ms = measure_device_fano_cycle_ms(device=device,
+                                              unroll=unroll)
+        # cheapest useful device call (the smallest bucket) vs one
+        # native full-budget timeout; 2x margin prefers hybrid near
+        # the boundary — the probe's fixed dispatch amortizes over
+        # real batches and pipelined rounds, so only a DECISIVE loss
+        # sends everything to the host (the tunneled chip measures
+        # 16 cycles at ~30-100 ms vs a ~7 ms native timeout; a 1-core
+        # CPU sits right at ~1x)
+        min_call_ms = _BUDGET_BUCKETS[0] * cyc_ms
+        if min_call_ms > 2.0 * timeout_ms:
             mode = "host"
         else:
             mode = "hybrid"
-            # the budget formula models a DISPATCH-bound backend (loop
-            # latency >> step compute); when an iteration measures in
-            # the noise (compute-bound backends, e.g. CPU) the tiny
-            # probe loop underestimates the real (B, 82)-vector step,
-            # so keep the default budget there — the hybrid split
-            # exists precisely to cap that compute
-            if not env_budget and wi_ms >= 0.005:
-                budget = _bucket_budget(
-                    timeout_ms * unroll / (2 * NBITS * wi_ms))
-        cal = FecCalibration(mode, budget, unroll, round(wi_ms, 6),
+            if not env_budget:
+                budget = _bucket_budget(timeout_ms / max(cyc_ms, 1e-9))
+        cal = FecCalibration(mode, budget, unroll, round(cyc_ms, 6),
                              round(clean_ms, 4), round(timeout_ms, 3),
                              "measured")
         _LOG.info("FEC calibration: %s", cal)

@@ -29,9 +29,9 @@ _METTAB = build_mettab()
 # lanes still searching after budget*81 cycles fall back to the host
 # decoder. Clean decodes finish in ~1-3 cycles/bit, so stragglers are
 # rare. Production paths use the per-backend MEASURED value instead
-# (ops/calibrate.py device_fano_budget: while-iteration marginal cost
-# vs native decode cost); this constant is the fallback and the
-# deterministic dryrun/compile-check value.
+# (ops/calibrate.py device_fano_budget: the real device decoder's
+# per-cycle cost vs native decode cost); this constant is the fallback
+# and the deterministic dryrun/compile-check value.
 DEVICE_MAXCYCLES = 16
 
 

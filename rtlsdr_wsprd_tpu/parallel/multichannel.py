@@ -364,7 +364,7 @@ def _default_fec_mode() -> str:
     ~25 us and even a full-budget timeout in ~12 ms. On such backends
     host-first FEC wins outright; locally attached chips keep the
     batched device search with host straggler finish. The decision is
-    MEASURED per backend at first use (while-iteration marginal cost vs
+    MEASURED per backend at first use (real device-decoder cycle cost vs
     native decode cost), with a platform sniff shortcutting known RPC
     tunnels and RTLSDR_WSPRD_TPU_FEC pinning it outright."""
     from ..ops.calibrate import get_fec_calibration

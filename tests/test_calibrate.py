@@ -17,15 +17,19 @@ def _fresh_cache():
 
 
 @pytest.mark.skipif(not native.AVAILABLE, reason="no native lib")
-def test_calibration_cpu_is_measured_hybrid():
+def test_calibration_cpu_is_measured_and_consistent():
     """On the CPU test backend the decision must come from measurement
-    (no sniff shortcut applies) and land on 'hybrid': a CPU while
-    iteration is far cheaper than a native full-budget timeout."""
+    (no sniff shortcut applies) and must FOLLOW the measured economics
+    — the mode is the box's to decide (a 1-core box measures 'host':
+    the device path has no extra cores to win with; a wide host would
+    measure 'hybrid'), the rule wiring is ours."""
     cal = calibrate.get_fec_calibration()
     assert cal.method == "measured"
-    assert cal.mode == "hybrid"
-    assert cal.while_iter_ms > 0
+    assert cal.device_cycle_ms > 0
     assert cal.native_timeout_ms > cal.native_clean_ms > 0
+    expected = ("host" if 16 * cal.device_cycle_ms
+                > 2.0 * cal.native_timeout_ms else "hybrid")
+    assert cal.mode == expected
     assert cal.device_maxcycles in (16, 64, 256)
     # memoized: second call returns the identical object
     assert calibrate.get_fec_calibration() is cal
@@ -45,26 +49,27 @@ def test_device_budget_never_exceeds_full(monkeypatch):
     assert calibrate.device_fano_budget(4) == 4
 
 
-def test_decision_rule_host_when_loop_dominates(monkeypatch):
-    """Simulated tunnel economics (1.5 ms/iteration) must pick 'host';
-    simulated PCIe economics must pick 'hybrid' with a larger budget."""
+def test_decision_rule_host_when_device_cycles_dominate(monkeypatch):
+    """Simulated tunnel economics (~3 ms per maxcycle of the real
+    device decoder) must pick 'host'; simulated PCIe economics must
+    pick 'hybrid' with a larger budget."""
     if not native.AVAILABLE:
         pytest.skip("no native lib")
-    monkeypatch.setattr(calibrate, "measure_while_iter_ms",
-                        lambda device=None: 1.5)
+    monkeypatch.setattr(calibrate, "measure_device_fano_cycle_ms",
+                        lambda device=None, lanes=32, unroll=None: 3.0)
     monkeypatch.setattr(calibrate, "measure_native_fano_ms",
                         lambda: (0.03, 12.0))
     monkeypatch.setattr(calibrate, "_tunneled", lambda: False)
     monkeypatch.setattr(calibrate, "_default_unroll", lambda: 32)
     cal = calibrate.get_fec_calibration()
-    assert cal.mode == "host"
+    assert cal.mode == "host"  # 16 * 3.0 = 48 ms > 2 * 12 ms
 
     calibrate._CACHE.clear()
-    monkeypatch.setattr(calibrate, "measure_while_iter_ms",
-                        lambda device=None: 0.015)
+    monkeypatch.setattr(calibrate, "measure_device_fano_cycle_ms",
+                        lambda device=None, lanes=32, unroll=None: 0.12)
     cal = calibrate.get_fec_calibration()
-    assert cal.mode == "hybrid"
-    # 12 * 32 / (162 * 0.015) ~= 158 -> the 64 bucket
+    assert cal.mode == "hybrid"  # 16 * 0.12 = 1.9 ms < 24 ms
+    # 12 / 0.12 = 100 -> the 64 bucket
     assert cal.device_maxcycles == 64
 
 
@@ -76,7 +81,7 @@ def test_sniffed_tunnel_skips_measurement(monkeypatch):
     assert cal.mode == "host"
     assert cal.method == "sniff"
     assert cal.device_maxcycles == DEVICE_MAXCYCLES
-    assert cal.while_iter_ms == -1.0
+    assert cal.device_cycle_ms == -1.0
 
 
 def test_measure_native_fano_orders_sanely():
