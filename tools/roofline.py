@@ -127,6 +127,26 @@ def main() -> None:
 
     print(f"device={jax.devices()[0].platform} B={B} "
           f"(assumed peaks: {peak_tflops} TFLOP/s, {peak_gbps} GB/s)")
+
+    # measured ACHIEVABLE streaming bandwidth — the practical ceiling
+    # the %peakB column should be read against (2026-08-20 on the
+    # tunneled v5e: ~640 GB/s read, ~370 GB/s read+write, vs the 819
+    # theoretical; phases whose logical GB/s exceed these are running
+    # on fusion, not magic)
+    big = jnp.arange(64 << 20, dtype=jnp.float32)  # 256 MB
+
+    @jax.jit
+    def _axpy(x):
+        return x * 1.000001 + 0.5
+
+    @jax.jit
+    def _rsum(x):
+        return x.sum()[None]
+
+    dt_ax, _ = timed(_axpy, (big,))
+    dt_rs, _ = timed(_rsum, (big,))
+    print(f"measured streaming: {big.nbytes / dt_rs / 1e9:.0f} GB/s "
+          f"read, {2 * big.nbytes / dt_ax / 1e9:.0f} GB/s r+w")
     rows = []
     print(f"link RTT (scalar fetch): {1e3 * link_rtt():.1f} ms "
           "(amortized out of every row below)")
