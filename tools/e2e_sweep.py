@@ -38,14 +38,27 @@ def main() -> None:
     from bench import REF_WINDOWS_PER_S, make_batch, measure_e2e_device
     from rtlsdr_wsprd_tpu.config import DecoderOptions
 
-    DC = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    DWIN = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # defaults match bench.py's shipped e2e config (C=128 since round
+    # 4's batch-shape sweep; the 2026-08-20 answer to the question this
+    # tool asks — is t(S) affine in step count? — was NO at C=64:
+    # slope -5.2 ms/step with 72 ms residuals, i.e. no per-step RPC)
+    DC = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    DWIN = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
     wi, wq = make_batch(DC)
     options = DecoderOptions()
 
     points = []
     for n_mid in N_MIDS:
+        # raw residency: 2 planes x DC x (n_mid*80) uint8; the tunnel's
+        # compiler rejects the biggest quanta at large DC (measured:
+        # 360k at DC=128 = 7.4 GB raw -> remote_compile HTTP 500), so
+        # skip what cannot fit instead of recording an error point
+        raw_gb = 2 * DC * n_mid * 80 / 1e9
+        if raw_gb > 6.0:
+            print(f"(skipping n_mid={n_mid}: ~{raw_gb:.1f} GB raw "
+                  f"residency at DC={DC})")
+            continue
         try:
             channels, dt, steps = measure_e2e_device(
                 wi, wq, options, DC=DC, DWIN=DWIN, N_MID=n_mid)
