@@ -36,6 +36,9 @@ echo "== drift x DT sensitivity matrix (50/cell at -27 dB) =="
 timeout 7200 python tools/sensitivity_matrix.py 50 -27 2>&1 | tee "$OUT/sens_matrix.log"
 
 echo "== type-2/3 hash census (pipelined vs strict) =="
-timeout 3600 python tools/hash_census.py 8 2>&1 | tee "$OUT/hash_census.log"
+timeout 3600 python tools/hash_census.py 24 2>&1 | tee "$OUT/hash_census.log"
+
+echo "== crowded-band precision/recall vs the oracle =="
+timeout 7200 python tools/crowded_band.py 2>&1 | tee "$OUT/crowded_band.log"
 
 echo "== done; logs in $OUT =="
