@@ -165,13 +165,22 @@ def measure_device_fano_cycle_ms(device=None, lanes: int = 32,
 
     from .fano import batched_fano, build_mettab
 
+    import jax
+
     if unroll is None:
         unroll = _default_unroll()
     mettab = build_mettab()
     rng = np.random.default_rng(20260821)
-    syms = jnp.asarray(rng.integers(0, 256, (lanes, 2 * NBITS),
-                                    dtype=np.uint8))
-    mt = jnp.asarray(mettab)
+    syms = rng.integers(0, 256, (lanes, 2 * NBITS), dtype=np.uint8)
+    if device is not None:
+        # operands pinned to the REQUESTED device: get_fec_calibration
+        # caches per-device keys, so the measurement must run on the
+        # chip the key names, not the default one
+        syms = jax.device_put(syms, device)
+        mt = jax.device_put(np.asarray(mettab), device)
+    else:
+        syms = jnp.asarray(syms)
+        mt = jnp.asarray(mettab)
 
     def timed(mc: int) -> float:
         r = batched_fano(syms, mt, delta=60, maxcycles=mc,
@@ -246,7 +255,17 @@ def get_fec_calibration(device=None,
 
     env_mode = os.environ.get("RTLSDR_WSPRD_TPU_FEC", "").strip().lower()
     env_budget = os.environ.get("RTLSDR_WSPRD_TPU_FEC_BUDGET", "").strip()
-    budget = int(env_budget) if env_budget else DEFAULT_DEVICE_MAXCYCLES
+    budget = DEFAULT_DEVICE_MAXCYCLES
+    if env_budget:
+        try:
+            budget = int(env_budget)
+        except ValueError:
+            # a typo'd override must not take the daemon down at its
+            # first decode; fall back and say so
+            _LOG.warning("ignoring malformed RTLSDR_WSPRD_TPU_FEC_BUDGET"
+                         "=%r (want an integer); using %d", env_budget,
+                         budget)
+            env_budget = ""
     cal = None
     if env_mode in ("host", "hybrid"):
         cal = FecCalibration(env_mode, budget, _default_unroll(),

@@ -13,11 +13,14 @@ queue instead of being dropped on the floor like the C's curl errors
 BACKGROUND thread (``background=True``) so a slow wsprnet can never
 eat into the 2-minute window cadence — the C blocks its decoder
 thread on curl for up to its timeout per spot (rtlsdr_wsprd.c:324,
-366-444).
+366-444). Every discarded report (retry exhaustion or queue overflow)
+is counted in ``dropped`` and announced on stderr — stdout is the
+spot-line contract and must stay machine-parseable.
 """
 
 from __future__ import annotations
 
+import sys
 import threading
 import time
 import urllib.error
@@ -122,16 +125,25 @@ class WsprnetReporter:
 
     ``background=True`` moves delivery to a daemon worker thread:
     ``post()`` only enqueues (microseconds) and the worker drains the
-    queue, retrying failures every RETRY_INTERVAL_S — so a slow or
-    down wsprnet never stalls the decode loop that produced the spots
-    (the reference's decoder thread blocks on curl per spot,
-    rtlsdr_wsprd.c:324). ``close()`` joins the worker after a final
-    delivery attempt; the daemons call it on shutdown.
+    queue, retrying failures with exponential backoff (RETRY_INTERVAL_S
+    doubling up to RETRY_MAX_INTERVAL_S) — so a slow or down wsprnet
+    never stalls the decode loop that produced the spots (the
+    reference's decoder thread blocks on curl per spot,
+    rtlsdr_wsprd.c:324), while queued spots survive a multi-minute
+    outage (~12 min at the default schedule — at least as long as the
+    old inline flush-per-window scheme's 3 tries at 2-minute cadence).
+    ``close()`` joins the worker after a final delivery attempt; the
+    daemons call it on shutdown.
+
+    ``dropped`` counts reports discarded forever — retry exhaustion or
+    queue overflow (the deque evicts its oldest when full). The daemons
+    surface it in their stats lines.
     """
 
     MAX_QUEUE = 256
-    MAX_ATTEMPTS = 3
+    MAX_ATTEMPTS = 10
     RETRY_INTERVAL_S = 5.0
+    RETRY_MAX_INTERVAL_S = 120.0
 
     def __init__(self, rcall: str, rloc: str, dialfreq_hz: float,
                  noreport: bool = False, transport=None,
@@ -143,6 +155,8 @@ class WsprnetReporter:
         self.timeout = timeout
         self._transport = transport or self._http_get
         self._queue: deque[_Pending] = deque(maxlen=self.MAX_QUEUE)
+        self.dropped = 0
+        self._backoff = self.RETRY_INTERVAL_S
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -163,14 +177,17 @@ class WsprnetReporter:
         reporter runs a background worker."""
         if self.noreport:
             return
+        urls = ([heartbeat_url(self.rcall, self.rloc, self.dialfreq_hz)]
+                if not spots else
+                [spot_url(s, self.rcall, self.rloc, gtm) for s in spots])
         with self._lock:
-            if not spots:
-                self._queue.append(_Pending(
-                    heartbeat_url(self.rcall, self.rloc, self.dialfreq_hz)))
-            else:
-                for s in spots:
-                    self._queue.append(_Pending(
-                        spot_url(s, self.rcall, self.rloc, gtm)))
+            for url in urls:
+                if len(self._queue) == self.MAX_QUEUE:
+                    # the bounded deque evicts its oldest pending report
+                    self.dropped += 1
+                    print("report dropped: retry queue full "
+                          f"({self.MAX_QUEUE})", file=sys.stderr)
+                self._queue.append(_Pending(url))
         if self._thread is not None:
             self._wake.set()
         else:
@@ -180,6 +197,7 @@ class WsprnetReporter:
         """Attempt every currently-queued URL once; keep failures for
         later (bounded). Returns number delivered."""
         delivered = 0
+        failed = 0
         with self._lock:
             n = len(self._queue)
         for _ in range(n):
@@ -192,17 +210,23 @@ class WsprnetReporter:
                 delivered += 1
             except (urllib.error.URLError, OSError, TimeoutError) as exc:
                 item.attempts += 1
+                failed += 1
                 if item.attempts < self.MAX_ATTEMPTS:
                     with self._lock:
                         self._queue.append(item)
                 else:
+                    with self._lock:
+                        self.dropped += 1
                     print(f"report dropped after {item.attempts} attempts: "
-                          f"{exc}")
+                          f"{exc}", file=sys.stderr)
+        # exponential backoff while wsprnet is down; reset on recovery
+        self._backoff = (min(self._backoff * 2, self.RETRY_MAX_INTERVAL_S)
+                         if failed else self.RETRY_INTERVAL_S)
         return delivered
 
     def _worker(self) -> None:
         while not self._stop.is_set():
-            timeout = self.RETRY_INTERVAL_S if self.pending else None
+            timeout = self._backoff if self.pending else None
             self._wake.wait(timeout=timeout)
             self._wake.clear()
             if self._stop.is_set():
@@ -218,11 +242,20 @@ class WsprnetReporter:
 
     def close(self, final_attempt: bool = True) -> None:
         """Stop the background worker (join-on-shutdown), then make one
-        last inline delivery attempt for anything still queued."""
+        last inline delivery attempt for anything still queued. If the
+        worker overruns the join timeout (a transport call wedged past
+        its own timeout), the inline attempt is SKIPPED so only one
+        drainer is ever active."""
         if self._thread is not None:
             self._stop.set()
             self._wake.set()
             self._thread.join(timeout=self.timeout + 5.0)
+            if self._thread.is_alive():
+                # abandoned worker may still be mid-drain; don't race it
+                print("reporter worker did not stop in time; skipping "
+                      "final delivery attempt", file=sys.stderr)
+                self._thread = None
+                return
             self._thread = None
         if final_attempt and self.pending:
             self._drain_once()

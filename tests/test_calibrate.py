@@ -42,6 +42,19 @@ def test_calibration_env_override(monkeypatch):
     assert (cal.mode, cal.device_maxcycles, cal.method) == ("host", 8, "env")
 
 
+def test_calibration_malformed_env_budget_is_ignored(monkeypatch, caplog):
+    """A typo'd RTLSDR_WSPRD_TPU_FEC_BUDGET must warn and fall back,
+    not take the daemon down at first decode (ADVICE r4)."""
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "banana")
+    import logging
+
+    with caplog.at_level(logging.WARNING, "rtlsdr_wsprd_tpu.calibrate"):
+        cal = calibrate.get_fec_calibration()
+    assert cal.device_maxcycles == DEVICE_MAXCYCLES
+    assert any("FEC_BUDGET" in r.message for r in caplog.records)
+
+
 def test_device_budget_never_exceeds_full(monkeypatch):
     monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
     monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "64")

@@ -208,6 +208,105 @@ def test_daemon_cadence_with_slow_reporter():
     rep.close()
 
 
+def test_reporter_drop_counter_and_stderr(capsys):
+    """Retry exhaustion increments ``dropped`` and announces on STDERR
+    (stdout is the spot-line contract) — VERDICT r4 weak item 5."""
+
+    def transport(url):
+        raise OSError("down forever")
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=transport)
+    rep.MAX_ATTEMPTS = 2
+    rep.post([_spot()], time.gmtime(0))   # attempt 1 (inline flush)
+    assert rep.pending == 1 and rep.dropped == 0
+    rep.flush()                           # attempt 2 -> dropped
+    assert rep.pending == 0
+    assert rep.dropped == 1
+    err = capsys.readouterr()
+    assert "report dropped" in err.err
+    assert "report dropped" not in err.out
+
+
+def test_reporter_queue_overflow_counts_dropped(capsys):
+    """The bounded retry deque evicts its oldest when full; every
+    eviction is a counted drop, not a silent one."""
+
+    class TinyQueueReporter(WsprnetReporter):
+        MAX_QUEUE = 2
+
+    def transport(url):
+        raise OSError("down")
+
+    rep = TinyQueueReporter("A1XYZ", "AB12cd", 14_095_600,
+                            transport=transport)
+    gtm = time.gmtime(0)
+    rep._thread = object()  # enqueue-only: block the inline flush
+    rep._wake = type("E", (), {"set": lambda self: None})()
+    for _ in range(3):
+        rep.post([_spot()], gtm)
+    assert rep.pending == 2
+    assert rep.dropped == 1
+    assert "retry queue full" in capsys.readouterr().err
+
+
+def test_reporter_backoff_escalates_and_resets():
+    """Failed drains back off exponentially (up to RETRY_MAX_INTERVAL_S)
+    so queued spots survive a multi-minute wsprnet outage; a successful
+    drain resets the interval (ADVICE r4)."""
+    fails = {"on": True}
+
+    def transport(url):
+        if fails["on"]:
+            raise OSError("down")
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=transport)
+    rep.MAX_ATTEMPTS = 100  # keep the item alive across this sweep
+    rep.post([_spot()], time.gmtime(0))
+    assert rep._backoff == 2 * rep.RETRY_INTERVAL_S
+    rep.flush()
+    assert rep._backoff == 4 * rep.RETRY_INTERVAL_S
+    for _ in range(10):
+        rep.flush()
+    assert rep._backoff == rep.RETRY_MAX_INTERVAL_S
+    # schedule outlives the old inline flush-per-window scheme (3 tries
+    # at 2-minute cadence = 6 min)
+    horizon = sum(min(rep.RETRY_INTERVAL_S * 2**k,
+                      rep.RETRY_MAX_INTERVAL_S)
+                  for k in range(WsprnetReporter.MAX_ATTEMPTS - 1))
+    assert horizon >= 3 * 120.0
+    fails["on"] = False
+    rep.flush()
+    assert rep.pending == 0
+    assert rep._backoff == rep.RETRY_INTERVAL_S
+
+
+def test_reporter_close_skips_inline_drain_after_failed_join(capsys):
+    """If the worker overruns the join timeout, close() must NOT start
+    a second concurrent drainer (ADVICE r4)."""
+    from rtlsdr_wsprd_tpu.runtime.reporting import _Pending
+
+    calls = []
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=calls.append, timeout=0.01)
+
+    class WedgedThread:
+        def join(self, timeout=None):
+            pass
+
+        def is_alive(self):
+            return True
+
+    with rep._lock:
+        rep._queue.append(_Pending("http://example.invalid"))
+    rep._thread = WedgedThread()
+    rep.close()
+    assert calls == []          # no inline drain raced the worker
+    assert rep._thread is None
+    assert "did not stop" in capsys.readouterr().err
+
+
 def test_reporter_noreport_is_silent():
     rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600, noreport=True,
                           transport=lambda url: (_ for _ in ()).throw(
