@@ -238,11 +238,18 @@ def main(argv: list[str] | None = None) -> int:
         if reporters is not None:
             for r in reporters:
                 r.close()  # join worker + final delivery attempt
+            # include anything dropped during the shutdown drain
+            daemon.stats.dropped_reports = sum(r.dropped
+                                               for r in reporters)
     s = daemon.stats
     tag = f"[rank {args.rank}] " if distributed else ""
     print(f"{tag}Processed {s.window_batches} window batch(es), "
           f"{s.channel_windows} channel-windows, {s.spots} spot(s), "
           f"{s.errors} error(s).")
+    if s.dropped_reports:
+        print(f"WARNING: {s.dropped_reports} report(s) dropped "
+              "(wsprnet unreachable past the retry horizon)",
+              file=sys.stderr)
     dropped = getattr(bank, "dropped_bytes", None)
     if dropped and any(dropped):
         # the RX ring overflowed: the host fell behind the stream and

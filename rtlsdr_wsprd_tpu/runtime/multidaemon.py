@@ -47,6 +47,7 @@ class MultiStats:
     channel_windows: int = 0
     spots: int = 0
     errors: int = 0
+    dropped_reports: int = 0   # reports discarded by the reporter(s)
     ingest_seconds: float = 0.0
     started: float = field(default_factory=time.time)
 
@@ -355,9 +356,24 @@ class MultiChannelDaemon:
             if rep is None:
                 continue
             live = [s for s in spots if not s.noprint]
-            if live:
-                rep.post(live, gtm)
+            # an empty window still posts: post() sends the
+            # function=wsprstat heartbeat wsprnet uses to track
+            # receiver uptime (rtlsdr_wsprd.c:389-411 posts it for
+            # every spotless window; the single-channel daemon already
+            # does, scheduler.py)
+            rep.post(live, gtm)
+        self.stats.dropped_reports = sum(
+            r.dropped for r in self._all_reporters())
         return per_channel
+
+    def _all_reporters(self):
+        reps = (self.reporters if self.reporters is not None
+                else [self.reporter])
+        uniq: dict[int, object] = {}
+        for r in reps:
+            if r is not None:
+                uniq[id(r)] = r  # a shared reporter counts once
+        return list(uniq.values())
 
 
 __all__ = ["MultiChannelDaemon", "MultiStats", "normalize_rows_minus3db"]
