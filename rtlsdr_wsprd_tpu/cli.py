@@ -250,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         print("  Auto gain    : enable")
     else:
         print(f"  Gain         : {rx.gain // 10} dB")
+    from .ops import calibrate
+    print(f"  FEC strategy : {calibrate.describe()}")
 
     if args.source == "rtl_tcp":
         host, _, port = args.device.partition(":")

@@ -231,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
         frontend=args.frontend, channelize=channelize,
         devices=args.devices, strict_hash_order=args.strict_hash_order,
         write_prefix=args.writefile)
+    print(f"FEC strategy : {daemon.describe_fec()}")
+    print(f"Front end    : {daemon.frontend_placement}")
     try:
         daemon.run(max_windows=args.maxloop)
     finally:

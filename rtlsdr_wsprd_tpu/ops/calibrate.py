@@ -304,6 +304,28 @@ def get_fec_calibration(device=None,
     return cal
 
 
+def describe(mode_arg: str = "auto") -> str:
+    """One-line startup-banner description of the FEC strategy in
+    effect — production visibility of the calibrated host/hybrid
+    decision (an operator on a PCIe host can see which mode was chosen
+    and why). Resolves (and caches) the calibration."""
+    if mode_arg in ("host", "hybrid"):
+        return f"{mode_arg} (pinned by caller)"
+    cal = get_fec_calibration()
+    s = f"{cal.mode} (method={cal.method}"
+    if cal.mode == "hybrid":
+        s += f", device budget={cal.device_maxcycles} cycles"
+    if cal.method == "measured":
+        s += (f"; device {cal.device_cycle_ms:.3g} ms/cycle, native "
+              f"clean {cal.native_clean_ms:.3g} / timeout "
+              f"{cal.native_timeout_ms:.3g} ms")
+    s += ")"
+    if cal.method == "sniff":
+        s += (" -- platform-sniffed, not measured; pin with "
+              "RTLSDR_WSPRD_TPU_FEC to override")
+    return s
+
+
 def device_fano_budget(full_maxcycles: int) -> int:
     """Device-side Fano budget for the hybrid split — the calibrated
     per-backend value, never above the reference's full budget. Every
@@ -314,5 +336,5 @@ def device_fano_budget(full_maxcycles: int) -> int:
 
 
 __all__ = ["FecCalibration", "get_fec_calibration", "device_fano_budget",
-           "measure_while_iter_ms", "measure_native_fano_ms",
+           "describe", "measure_while_iter_ms", "measure_native_fano_ms",
            "DEFAULT_DEVICE_MAXCYCLES"]

@@ -48,6 +48,7 @@ class MultiStats:
     spots: int = 0
     errors: int = 0
     dropped_reports: int = 0   # reports discarded by the reporter(s)
+    fec: str = ""              # FEC strategy description in effect
     ingest_seconds: float = 0.0
     started: float = field(default_factory=time.time)
 
@@ -153,6 +154,16 @@ class MultiChannelDaemon:
         self._dec = self._make_frontend(frontend, bank.n_channels,
                                         channelize)
         self._ts: list[float] = []  # completion time per pending batch
+
+    def describe_fec(self) -> str:
+        """Resolve and describe the FEC strategy this daemon will use
+        (ops/calibrate.describe); recorded in stats, printed by the CLI
+        startup banner so the calibrated choice is visible in
+        production."""
+        from ..ops import calibrate
+
+        self.stats.fec = calibrate.describe(self.fec)
+        return self.stats.fec
 
     def _make_frontend(self, frontend: str, n_channels: int,
                        channelize: list[int] | None):

@@ -55,6 +55,47 @@ def test_calibration_malformed_env_budget_is_ignored(monkeypatch, caplog):
     assert any("FEC_BUDGET" in r.message for r in caplog.records)
 
 
+def test_describe_banner_forms(monkeypatch):
+    """The startup banner surfaces the calibrated FEC decision
+    (VERDICT r4 weak item 6): pinned, env and sniff forms."""
+    assert calibrate.describe("host") == "host (pinned by caller)"
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "64")
+    s = calibrate.describe()
+    assert s.startswith("hybrid (method=env")
+    assert "device budget=64" in s
+    calibrate._CACHE.clear()
+    monkeypatch.delenv("RTLSDR_WSPRD_TPU_FEC")
+    monkeypatch.delenv("RTLSDR_WSPRD_TPU_FEC_BUDGET")
+    monkeypatch.setattr(calibrate, "_tunneled", lambda: True)
+    s = calibrate.describe()
+    assert s.startswith("host (method=sniff)")
+    assert "platform-sniffed" in s
+
+
+def test_multidaemon_records_fec_in_stats(monkeypatch):
+    """describe_fec() resolves the strategy into MultiStats.fec."""
+    import numpy as np
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.runtime.multidaemon import MultiChannelDaemon
+
+    class _Bank:
+        n_channels = 1
+
+        def read(self, n):
+            return (np.zeros((1, 0), np.uint8),) * 2
+
+        def close(self):
+            pass
+
+    monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "host")
+    d = MultiChannelDaemon(_Bank(), DecoderOptions(), fec="auto")
+    s = d.describe_fec()
+    assert s.startswith("host (method=env")
+    assert d.stats.fec == s
+
+
 def test_device_budget_never_exceeds_full(monkeypatch):
     monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC", "hybrid")
     monkeypatch.setenv("RTLSDR_WSPRD_TPU_FEC_BUDGET", "64")
