@@ -86,6 +86,10 @@ class Spot:
     pwr: str
     cycles: int
     noprint: bool = False
+    ihash: int = -1  # type-3 spots: the 15-bit hash behind ``call``
+    #                  (-1 otherwise); carried so pipelined consumers
+    #                  can re-resolve a not-yet-taught "<...>" at
+    #                  yield time (multichannel.resolve_type3_spots)
 
 
 @partial(jax.jit, static_argnames=("lagstep", "iifac", "quickmode", "symfac"))
@@ -238,6 +242,7 @@ def decode_window(
                 pwr=msg.pwr,
                 cycles=cycles,
                 noprint=msg.noprint,
+                ihash=msg.ihash,
             )
             uniques.append(spot)
             if options.subtraction and ipass == 0 and not msg.noprint:

@@ -84,10 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "window batch's channels across ALL local "
                         "chips (one staged pipeline per chip)")
     p.add_argument("--strict-hash-order", action="store_true",
-                   help="with -H: serialize window batches so type-1 "
-                        "decodes always teach later type-3 spots "
-                        "(reference window order; disables the "
-                        "2-deep pipeline overlap)")
+                   help="with -H: compatibility mode serializing window "
+                        "batches (disables the pipeline overlap). Type-3 "
+                        "<hash> spots already resolve race-free at yield "
+                        "time by default; this additionally matches the "
+                        "reference's decode-time side effects (dedupe "
+                        "key / subtraction of a then-unresolved type-3)")
     p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
                    help="multi-host mode: jax.distributed coordinator "
                         "address (rank 0's host); every rank runs this "

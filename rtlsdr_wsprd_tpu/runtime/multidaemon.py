@@ -115,10 +115,13 @@ class MultiChannelDaemon:
         local chip (decode_channels_pipelined_multidevice — the
         one-host-many-chips production layout, BASELINE.md's v5e-16
         target); or pass an explicit device list.
-        ``strict_hash_order``: serialize window batches when
-        ``options.usehashtable`` so a type-1 decode always teaches
-        type-3 spots in later batches (the reference's sequential
-        window order; costs the pipeline overlap).
+        ``strict_hash_order``: compatibility mode — serialize window
+        batches when ``options.usehashtable``. Type-3 ``<hash>`` spots
+        already resolve race-free by default (yield-time
+        re-resolution, multichannel.resolve_type3_spots); serializing
+        additionally matches the reference's decode-time side effects
+        (dedupe key / subtraction of a then-unresolved type-3) at the
+        cost of the pipeline overlap.
         ``write_prefix``: save every channel's normalized window as
         ``{prefix}_ch{NN}_{timestamp}.iq`` (the reference's ``-w``
         capture saving, rtlsdr_wsprd.c:477-496, per channel)."""

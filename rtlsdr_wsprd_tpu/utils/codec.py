@@ -127,6 +127,11 @@ class UnpackedMessage:
     pwr: str           # power in dBm ("" for type-2)
     callsign: str      # dedupe key (always set on success)
     noprint: bool      # message failed a sanity check (still reported)
+    ihash: int = -1    # type-3 only: the 15-bit callsign hash looked
+    #                    up (resolved or not); -1 for type 1/2. Lets a
+    #                    pipelined consumer re-resolve a "<...>" spot
+    #                    once its teacher batch has completed
+    #                    (parallel/multichannel.resolve_type3_spots).
 
 
 def unpack_message(message: bytes | list[int], hashtable) -> UnpackedMessage | None:
@@ -212,7 +217,7 @@ def unpack_message(message: bytes | list[int], hashtable) -> UnpackedMessage | N
         return UnpackedMessage(
             call_loc_pow=f"{hashed_call} {grid6} {cdbm}"[:22],
             call=hashed_call[:12], loc=grid6[:6], pwr=cdbm[:2],
-            callsign=hashed_call[:12], noprint=noprint,
+            callsign=hashed_call[:12], noprint=noprint, ihash=ihash,
         )
 
     return None

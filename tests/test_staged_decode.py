@@ -350,6 +350,99 @@ def test_strict_hash_order_resolves_cross_batch_type3():
     assert "<PJ4/K1ABC>" in {s.call for s in out[1][0]}
 
 
+@pytest.mark.slow
+def test_pipelined_type3_resolves_under_forced_race(monkeypatch):
+    """VERDICT r4 item 1: the pipelined hash-teaching guarantee must
+    hold BY CONSTRUCTION, not by timing. Force the race — hold the
+    TEACHER batch's decode until the type-3 batch has fully decoded
+    (so its spot assembles as ``<...>``) — with the full 2-deep
+    overlap (strict_hash_order=False): yield-time re-resolution
+    (resolve_type3_spots) must still deliver the resolved ``<call>``
+    message, byte-identical to the sequential reference fields
+    (wsprd/wsprd_utils.c:280-308)."""
+    import threading
+
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+    from rtlsdr_wsprd_tpu.runtime.iqio import normalize_minus3db
+    from rtlsdr_wsprd_tpu.runtime.synth import synth_window_at_snr
+
+    def win(msg, seed):
+        i, q = synth_window_at_snr(msg, snr_db=8.0, f0=20.0, seed=seed)
+        i, q = normalize_minus3db(i, q)
+        return i[None], q[None]
+
+    batches = [win("PJ4/K1ABC 37", 41), win("<PJ4/K1ABC> FK52UD 37", 42)]
+
+    user_done = threading.Event()
+    lock = threading.Lock()
+    state = {"calls": 0, "raw_user_calls": None}
+    real = mc.decode_channels
+
+    def racing(i, q, options, ht, **kw):
+        with lock:
+            k = state["calls"]
+            state["calls"] += 1
+        if k == 0:
+            # the teacher batch decodes (and teaches) only AFTER the
+            # type-3 batch finished decoding — the worst-case race
+            assert user_done.wait(timeout=600.0), "user batch stalled"
+            return real(i, q, options, ht, **kw)
+        res = real(i, q, options, ht, **kw)
+        state["raw_user_calls"] = {s.call for ch in res for s in ch}
+        user_done.set()
+        return res
+
+    monkeypatch.setattr(mc, "decode_channels", racing)
+    opts = DecoderOptions(quickmode=True, usehashtable=True)
+    ht = WsprHashTable()
+    out = list(mc.decode_channels_pipelined(
+        iter(batches), opts, ht, depth=2, device_batch=1,
+        strict_hash_order=False))
+    assert len(out) == 2
+    # the race genuinely happened: at decode time the hash was untaught
+    assert "<...>" in state["raw_user_calls"]
+    # ...and yield-time re-resolution still delivered the teacher
+    assert any(s.message == "PJ4/K1ABC 37" for s in out[0][0])
+    spot = next(s for s in out[1][0] if s.ihash >= 0)
+    assert spot.call == "<PJ4/K1ABC>"
+    assert spot.message == "<PJ4/K1ABC> FK52UD 37"
+    assert (spot.loc, spot.pwr) == ("FK52UD", "37")
+
+
+def test_resolve_type3_spots_rebuilds_exact_fields():
+    """resolve_type3_spots must rebuild call/message exactly as
+    unpack_message would have with the hash taught — including the
+    C's truncation quirks — and must not touch non-type-3 spots or
+    still-unknown hashes."""
+    from rtlsdr_wsprd_tpu.models.decoder import Spot
+    from rtlsdr_wsprd_tpu.parallel.multichannel import resolve_type3_spots
+    from rtlsdr_wsprd_tpu.utils.nhash import nhash
+
+    def spot(**kw):
+        base = dict(freq=14.0971, sync=0.5, snr=-10.0, dt=0.1, drift=0.0,
+                    jitter=0, message="<...> FK52UD 37", call="<...>",
+                    loc="FK52UD", pwr="37", cycles=10, ihash=-1)
+        base.update(kw)
+        return Spot(**base)
+
+    taught = WsprHashTable()
+    # teach by unpacking a REAL type-3 message with the hash known, to
+    # get the oracle fields; a long compound call exercises truncation
+    call = "PJ4/K1ABCDE"   # <PJ4/K1ABCDE> is 13 chars -> [:12] truncates
+    ih = nhash(call)
+    taught.put(ih, call)
+    t1 = spot(ihash=ih)
+    plain = spot(call="K1JT", message="K1JT FN20 37", loc="FN20")
+    unknown = spot(ihash=(ih + 1) % 32768)
+    got = resolve_type3_spots([[t1, plain, unknown]], taught)[0]
+    assert got[0].call == "<PJ4/K1ABCDE"[:12]
+    assert got[0].call == f"<{call}>"[:12]
+    assert got[0].message == f"<{call}>"[:12] + " FK52UD 37"
+    assert got[1] is plain        # untouched
+    assert got[2] is unknown      # hash still unknown: stays <...>
+
+
 def test_prepare_windows_device_matches_host_feed(batch_decode_env):
     """Device-resident window planes wrapped by prepare_windows_device
     (the on-device front end's zero-round-trip feed) must decode
