@@ -91,7 +91,7 @@ def measure_e2e_device(wi, wq, options, DC: int = 64, DWIN: int = 3,
         STAGE2_TAPS,
     )
     from rtlsdr_wsprd_tpu.parallel.multichannel import (
-        decode_channels_pipelined,
+        decode_channels_pipelined_multidevice,
         prepare_windows_device,
     )
 
@@ -140,6 +140,9 @@ def measure_e2e_device(wi, wq, options, DC: int = 64, DWIN: int = 3,
         sc = (0.5 / jnp.maximum(mx, 1e-24))[:, None]
         return zi * sc, zq * sc
 
+    devs = jax.local_devices()
+    D = len(devs)
+
     def _dev_windows(n_windows, seed):
         ki, kq = jax.random.split(jax.random.PRNGKey(seed))
         ri = jax.random.randint(ki, (DC, raw_len), 0, 256, jnp.uint8)
@@ -151,19 +154,33 @@ def measure_e2e_device(wi, wq, options, DC: int = 64, DWIN: int = 3,
             dwi, dwq = _assemble_win(bb_i[:, :SIGNAL_SAMPLES],
                                      bb_q[:, :SIGNAL_SAMPLES],
                                      cont_i, cont_q)
-            yield prepare_windows_device(dwi, dwq, device_batch=DC)
+            if D == 1:
+                yield prepare_windows_device(dwi, dwq, device_batch=DC)
+                continue
+            # multi-chip host: one device-resident shard handle per
+            # chip (the front-end chain ran on the default device; the
+            # shard split rides ICI once), decoded concurrently by the
+            # multidevice pipeline
+            bounds = [DC * k // D for k in range(D + 1)]
+            yield [prepare_windows_device(
+                jax.device_put(dwi[s0:s1], d),
+                jax.device_put(dwq[s0:s1], d),
+                device_batch=s1 - s0, device=d)
+                for d, s0, s1 in zip(devs, bounds[:-1], bounds[1:])
+                if s1 > s0]
 
     def _dev_e2e(n_windows, seed):
         t0 = time.perf_counter()
-        for _ in decode_channels_pipelined(_dev_windows(n_windows, seed),
-                                           options, device_batch=DC):
+        for _ in decode_channels_pipelined_multidevice(
+                _dev_windows(n_windows, seed), options,
+                device_batch=DC, devices=devs):
             pass
         jax.effects_barrier()
         return time.perf_counter() - t0
 
     _dev_e2e(1, 0)  # warm every program in the device chain
     e2e_dev_dt = _dev_e2e(DWIN, 1)
-    return DC * DWIN * 120.0 / e2e_dev_dt, e2e_dev_dt, STEPS
+    return DC * DWIN * 120.0 / e2e_dev_dt, e2e_dev_dt, STEPS, D
 
 
 def main() -> None:
@@ -373,7 +390,7 @@ def main() -> None:
     DWIN = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_DEV_W", 4))
     N_MID = int(os.environ.get("RTLSDR_WSPRD_TPU_BENCH_E2E_NMID",
                                120_000))
-    e2e_dev_channels, _e2e_dev_dt, _steps = measure_e2e_device(
+    e2e_dev_channels, _e2e_dev_dt, _steps, e2e_dev_D = measure_e2e_device(
         wi, wq, options, DC=DC, DWIN=DWIN, N_MID=N_MID)
 
     # candidate syncs/s (BASELINE.json metric): MEASURED — time the
@@ -423,7 +440,11 @@ def main() -> None:
         "e2e_realtime_channels_per_chip": round(e2e_channels, 1),
         "e2e_frontend": e2e_frontend.get("placement", "device"),
         "e2e_realtime_channels_per_chip_device": round(e2e_dev_channels, 1),
-        "e2e_device_config": f"C={DC} W={DWIN} full-schedule",
+        # the e2e device chain rides decode_channels_pipelined_
+        # multidevice with per-shard device-resident handles, so on a
+        # multi-chip host the same bench reports the one-host layout
+        "e2e_device_config": f"C={DC} W={DWIN} D={e2e_dev_D} "
+                             "full-schedule",
         # host scaling hook: the daemon shards channels across local
         # chips (devices='all', decode_channels_pipelined_multidevice;
         # per-chip decode is independent, so host = chips x per-chip)

@@ -8,8 +8,16 @@ overlapping transmissions each) through both decoders and report
 message-level precision/recall against ground truth, plus cross-decoder
 agreement.
 
-Usage: python tools/crowded_band.py [n_windows] [max_signals]
-Prints a summary table and one JSON line.
+Round 5 addition (VERDICT r4 next-step 2): the same windows are also
+decoded with MORE passes than the reference can afford — its
+``ipass==2`` branch (maxdrift=0, minsync2 relaxed to 0.10,
+wsprd/wsprd.c:521-531) ships DEAD because npasses is hard-coded to 2;
+our pass loop implements it (multichannel.py pass loop), and the TPU's
+~400x headroom makes a third pass nearly free. Each configured pass
+count decodes the SAME windows, so the deltas are paired.
+
+Usage: python tools/crowded_band.py [n_windows] [max_signals] [npasses,npasses,...]
+Prints a summary table and one JSON line per pass-count config.
 """
 
 from __future__ import annotations
@@ -51,6 +59,8 @@ def random_message(rng: np.random.Generator, ht: WsprHashTable) -> str:
 def main() -> None:
     n_windows = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     max_sig = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    npasses_list = ([int(x) for x in sys.argv[3].split(",")]
+                    if len(sys.argv) > 3 else [2, 3])
 
     import oracle
     have_oracle = oracle.available()
@@ -83,9 +93,12 @@ def main() -> None:
         wi[b], wq[b] = normalize_minus3db(i, q)
         truth.append(set(msgs))
 
-    options = DecoderOptions()
-    spots = decode_channels(wi, wq, options, device_batch=32)
-    ours = [set(s.message for s in ch) for ch in spots]
+    ours_by_np: dict[int, list[set[str]]] = {}
+    for np_ in npasses_list:
+        options = DecoderOptions(npasses=np_)
+        spots = decode_channels(wi, wq, options, device_batch=32)
+        ours_by_np[np_] = [set(s.message for s in ch) for ch in spots]
+    ours = ours_by_np[npasses_list[0]]
 
     refs: list[set[str]] = []
     if have_oracle:
@@ -104,30 +117,37 @@ def main() -> None:
         rec = tp / max(tp + fn, 1)
         return tp, fp, fn, prec, rec
 
-    o_tp, o_fp, o_fn, o_p, o_r = prf(ours)
     total_true = sum(len(t) for t in truth)
     print(f"windows={B} true-messages={total_true} "
           f"signals/window<={max_sig}")
-    print(f"ours: tp={o_tp} fp={o_fp} fn={o_fn} "
-          f"precision={o_p:.3f} recall={o_r:.3f}")
-    out = {"windows": B, "true_messages": total_true,
-           "ours_precision": round(o_p, 4), "ours_recall": round(o_r, 4)}
+    ref_stats = None
     if have_oracle:
         r_tp, r_fp, r_fn, r_p, r_r = prf(refs)
-        both = sum(len(o & r) for o, r in zip(ours, refs))
-        only_ours = sum(len((o - r) & t)
-                        for o, r, t in zip(ours, refs, truth))
-        only_ref = sum(len((r - o) & t)
-                       for o, r, t in zip(ours, refs, truth))
         print(f"ref : tp={r_tp} fp={r_fp} fn={r_fn} "
               f"precision={r_p:.3f} recall={r_r:.3f}")
-        print(f"agreement: both={both} true-only-ours={only_ours} "
-              f"true-only-ref={only_ref}")
-        out.update({"ref_precision": round(r_p, 4),
-                    "ref_recall": round(r_r, 4),
-                    "true_only_ours": only_ours,
-                    "true_only_ref": only_ref})
-    print(json.dumps(out))
+        ref_stats = (r_p, r_r)
+    for np_ in npasses_list:
+        ours = ours_by_np[np_]
+        o_tp, o_fp, o_fn, o_p, o_r = prf(ours)
+        print(f"ours(npasses={np_}): tp={o_tp} fp={o_fp} fn={o_fn} "
+              f"precision={o_p:.3f} recall={o_r:.3f}")
+        out = {"windows": B, "true_messages": total_true,
+               "npasses": np_,
+               "ours_precision": round(o_p, 4),
+               "ours_recall": round(o_r, 4)}
+        if have_oracle:
+            both = sum(len(o & r) for o, r in zip(ours, refs))
+            only_ours = sum(len((o - r) & t)
+                            for o, r, t in zip(ours, refs, truth))
+            only_ref = sum(len((r - o) & t)
+                           for o, r, t in zip(ours, refs, truth))
+            print(f"  agreement: both={both} true-only-ours={only_ours} "
+                  f"true-only-ref={only_ref}")
+            out.update({"ref_precision": round(ref_stats[0], 4),
+                        "ref_recall": round(ref_stats[1], 4),
+                        "true_only_ours": only_ours,
+                        "true_only_ref": only_ref})
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

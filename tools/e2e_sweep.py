@@ -60,7 +60,7 @@ def main() -> None:
                   f"residency at DC={DC})")
             continue
         try:
-            channels, dt, steps = measure_e2e_device(
+            channels, dt, steps, _d = measure_e2e_device(
                 wi, wq, options, DC=DC, DWIN=DWIN, N_MID=n_mid)
         except Exception as exc:  # e.g. HBM OOM at the largest quantum
             points.append({"n_mid": n_mid, "error": str(exc)[:120]})
