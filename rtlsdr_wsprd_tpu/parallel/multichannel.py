@@ -110,7 +110,7 @@ class ChannelDecode(NamedTuple):
     sel_valid: jnp.ndarray    # bool[B, K] attempt is live
     success: jnp.ndarray      # bool[B, K] Fano success
     data: jnp.ndarray         # uint8[B, K, 11] decoded bytes
-    cycles: jnp.ndarray      # uint32[B, K] Fano cycle counts
+    cycles: jnp.ndarray       # uint32[B, K] Fano cycle counts
     deint: jnp.ndarray        # uint8[B, K, 162] deinterleaved symbols
                               # (kept for the host straggler decoder)
     n_gate: jnp.ndarray       # int32[B] gate-passing attempts BEFORE
