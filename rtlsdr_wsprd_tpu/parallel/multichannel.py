@@ -1166,7 +1166,8 @@ def decode_channels(
             # attempt order, host-driven rounds — so both paths share
             # one semantics (VERDICT r4 weak item 3).
             ovf = [b for b in range(B)
-                   if int(out.n_gate[b]) > max_attempts]
+                   if int(out.n_gate[b]) > max_attempts
+                   and (ipass == 0 or uniques[b])]  # wsprd.c:522
             ovf_map: dict[int, int] = {}
             o_decoded = o_tbl = None
             if ovf:
