@@ -943,6 +943,12 @@ def _staged_pass(
     fec_mode = fec if fec != "auto" else _default_fec_mode()
     host_fec = fec_mode == "host" and native.AVAILABLE
 
+    # bucket work-list up front so buckets can software-pipeline:
+    # bucket k+1's stage B is DISPATCHED (and its host copies started)
+    # before bucket k's host FEC runs — stage B never depends on FEC
+    # within a pass, so the device computes and streams the next
+    # bucket's results while the CPU decodes the current one's
+    buckets = []
     for l0 in range(0, G, LANE_BUCKETS[-1]):
         l1 = min(l0 + LANE_BUCKETS[-1], G)
         n = l1 - l0
@@ -959,6 +965,23 @@ def _staged_pass(
         ls[:n] = sA[sel_w, 3, sel_c].astype(np.int32)
         ld[:n] = sA[sel_w, 4, sel_c]
         lv[:n] = True
+        buckets.append((l0, l1, n, sel_w, sel_c, (lw, lf, ls, ld, lv)))
+
+    def _dispatch_bucket(lanes):
+        """Dispatch one bucket's stage B and start its host copies
+        (asynchronous on both counts)."""
+        sig_i, sig_q = dw.arrays
+        pk = _stage_b_packed(sig_i, sig_q,
+                             *(jnp.asarray(a) for a in lanes), **b_kw)
+        for r in (pk[:4] if host_fec else pk[:2]):
+            try:
+                r.copy_to_host_async()
+            except Exception:  # backend without async copy
+                break
+        return pk
+
+    pending = _dispatch_bucket(buckets[0][5])
+    for idx, (l0, l1, n, sel_w, sel_c, lanes) in enumerate(buckets):
         # stage B + FEC, all inside the crash-retry envelope: the
         # deferred column fetch and the hybrid device Fano rounds talk
         # to the device too, and a worker restart anywhere in the
@@ -966,11 +989,11 @@ def _staged_pass(
         # replay; every step is deterministic, so re-running is safe)
         for attempt in range(3):
             try:
-                sig_i, sig_q = dw.arrays
-                pk = _stage_b_packed(
-                    sig_i, sig_q, jnp.asarray(lw), jnp.asarray(lf),
-                    jnp.asarray(ls), jnp.asarray(ld), jnp.asarray(lv),
-                    **b_kw)
+                pk = pending if pending is not None else (
+                    _dispatch_bucket(lanes))
+                pending = None
+                nxt = (_dispatch_bucket(buckets[idx + 1][5])
+                       if idx + 1 < len(buckets) else None)
                 deint_ref = pk[4]
                 if host_fec:
                     lane_f32, gate, pre_j, pre_syms = _fetch_np(*pk[:4])
@@ -1000,8 +1023,13 @@ def _staged_pass(
                                            options.delta, kw["maxcycles"],
                                            options.maxcycles,
                                            device=dw.device, fec=fec_mode)
+                pending = nxt
                 break
             except jax.errors.JaxRuntimeError as e:
+                # any pre-dispatched next-bucket refs died with the
+                # worker; drop them and let the next iteration
+                # re-dispatch against the replayed state
+                pending = None
                 _LOG.warning("stage B/FEC crashed (lanes %d:%d, "
                              "attempt %d): %s", l0, l1, attempt,
                              str(e)[:80])

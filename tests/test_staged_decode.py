@@ -443,6 +443,28 @@ def test_resolve_type3_spots_rebuilds_exact_fields():
     assert got[2] is unknown      # hash still unknown: stays <...>
 
 
+def test_staged_bucket_pipeline_matches_single_bucket(batch_decode_env,
+                                                      monkeypatch):
+    """Stage-B buckets software-pipeline (bucket k+1 dispatched, with
+    its host copies started, BEFORE bucket k's host FEC). Forcing many
+    tiny buckets via LANE_BUCKETS must produce byte-identical spots to
+    the one-bucket decode — the pipeline is a scheduling change only."""
+    from rtlsdr_wsprd_tpu.config import DecoderOptions
+    from rtlsdr_wsprd_tpu.parallel import multichannel as mc
+
+    wi, wq, expect = batch_decode_env
+    opts = DecoderOptions(quickmode=True)
+    want = mc.decode_channels(wi, wq, opts, device_batch=3)
+    monkeypatch.setattr(mc, "LANE_BUCKETS", (1, 2))
+    got = mc.decode_channels(wi, wq, opts, device_batch=3)
+    as_tuples = [[(s.call, s.loc, s.pwr, s.message, s.freq, s.cycles)
+                  for s in ch] for ch in want]
+    assert [[(s.call, s.loc, s.pwr, s.message, s.freq, s.cycles)
+             for s in ch] for ch in got] == as_tuples
+    assert [sorted((s.call, s.loc, s.pwr) for s in ch)
+            for ch in got] == expect
+
+
 def test_prepare_windows_device_matches_host_feed(batch_decode_env):
     """Device-resident window planes wrapped by prepare_windows_device
     (the on-device front end's zero-round-trip feed) must decode
