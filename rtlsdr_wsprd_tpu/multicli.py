@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", dest="writefile", metavar="PREFIX", default=None,
                    help="save each channel's normalized window as "
                         "PREFIX_chNN_<timestamp>.iq (reference -w)")
+    p.add_argument("--fec", choices=("auto", "host", "hybrid"),
+                   default="auto",
+                   help="FEC strategy: auto = per-backend calibration "
+                        "(ops/calibrate.py; RTLSDR_WSPRD_TPU_FEC also "
+                        "pins it), host = native sequential decoder, "
+                        "hybrid = batched device search + native "
+                        "straggler finish")
     p.add_argument("--devices", choices=("default", "all"),
                    default="default",
                    help="decode on the default device, or shard each "
@@ -228,7 +235,7 @@ def main(argv: list[str] | None = None) -> int:
     daemon = MultiChannelDaemon(
         bank, options, quiet=False,
         device_batch=args.device_batch,
-        fec="auto", dialfreqs=dialfreqs, reporters=reporters,
+        fec=args.fec, dialfreqs=dialfreqs, reporters=reporters,
         align=not args.synth and not args.noalign,
         frontend=args.frontend, channelize=channelize,
         devices=args.devices, strict_hash_order=args.strict_hash_order,

@@ -178,6 +178,16 @@ def test_dropped_reports_counted_in_stats():
     assert d.stats.dropped_reports == 1
 
 
+def test_multicli_fec_flag_parses_and_threads():
+    """--fec pins the daemon's FEC strategy from the CLI (the env var
+    remains the library-level override)."""
+    from rtlsdr_wsprd_tpu.multicli import build_parser
+
+    args = build_parser().parse_args(["--synth", "1", "--fec", "host"])
+    assert args.fec == "host"
+    assert build_parser().parse_args(["--synth", "1"]).fec == "auto"
+
+
 @pytest.mark.slow
 def test_multicli_synth_end_to_end(capsys):
     """The many-channel CLI surface: --synth bank -> spots -> summary
