@@ -307,6 +307,37 @@ def test_reporter_close_skips_inline_drain_after_failed_join(capsys):
     assert "did not stop" in capsys.readouterr().err
 
 
+def test_reporter_outage_recovery_delivers_all():
+    """A transient wsprnet outage spanning several retry intervals
+    must lose nothing: the background worker backs off, then delivers
+    the whole queue when the transport recovers (dropped stays 0)."""
+    fails = {"on": True}
+    delivered = []
+
+    def transport(url):
+        if fails["on"]:
+            raise OSError("down")
+        delivered.append(url)
+
+    rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
+                          transport=transport, background=True)
+    rep.RETRY_INTERVAL_S = 0.05
+    rep.RETRY_MAX_INTERVAL_S = 0.2
+    rep._backoff = 0.05
+    gtm = time.gmtime(0)
+    for _ in range(5):
+        rep.post([_spot()], gtm)
+    time.sleep(0.6)           # several failed drains; backoff escalates
+    assert rep.pending == 5 and rep.dropped == 0
+    fails["on"] = False
+    deadline = time.time() + 5.0
+    while rep.pending and time.time() < deadline:
+        time.sleep(0.02)
+    rep.close()
+    assert len(delivered) == 5
+    assert rep.dropped == 0
+
+
 def test_reporter_noreport_is_silent():
     rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600, noreport=True,
                           transport=lambda url: (_ for _ in ()).throw(
