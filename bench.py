@@ -371,8 +371,14 @@ def main() -> None:
             hdec.push(hci, hcq)
         host_fe_msps = 4 * 2.4 / (time.perf_counter() - t0)
 
-    # host->device link bandwidth (uint8), to attribute the e2e limit
-    blk = np.zeros((64 << 20,), np.uint8)
+    # host->device link bandwidth (uint8), to attribute the e2e limit.
+    # Measured on INCOMPRESSIBLE random bytes: this tunnel compresses
+    # transfers, so the zeros block earlier rounds timed moved ~2x
+    # faster than real samples ever will (probed 2026-08-21: zeros
+    # 40.5 MB/s vs random uint8 16.7 / quantized window int8 22.9 on
+    # the same link minutes apart) — quote the number real data gets
+    blk = np.random.default_rng(7).integers(
+        0, 256, 32 << 20, dtype=np.uint8)
     jnp.asarray(blk).max().item()  # warm path
     t0 = time.perf_counter()
     jnp.asarray(blk).max().item()
@@ -422,6 +428,16 @@ def main() -> None:
     float(np.asarray(r.ravel()[0]))
     sa_dt = max(time.perf_counter() - t0 - rtt, 1e-9) / sa_iters
     syncs_per_s_measured = DB * 512 * 32 * 9 / sa_dt
+    # measured FEC strategy constants for THIS backend (VERDICT r3
+    # item 7). Informational: a backend hiccup during this last,
+    # optional measurement must not destroy the whole run's JSON
+    # (observed 2026-08-21: a tunnel wedge inside the force-measured
+    # calibration crashed an otherwise-complete bench).
+    try:
+        fec_cal = get_fec_calibration(force_measure=True).as_dict()
+    except Exception as exc:
+        fec_cal = {"error": str(exc)[:120]}
+
     print(json.dumps({
         "metric": "decode_windows_per_s_per_chip",
         "value": round(windows_per_s, 3),
@@ -453,12 +469,7 @@ def main() -> None:
             round(e2e_dev_channels * len(jax.local_devices()), 1),
         "host_frontend_msps_per_core": round(host_fe_msps, 1),
         "host_to_device_mbps": round(link_mbps, 1),
-        # measured FEC strategy constants for THIS backend (VERDICT r3
-        # item 7): real device-decoder cycle cost, native decode costs,
-        # and the host/hybrid + budget decision they imply. The bench
-        # forces the measurement even on sniff-shortcut backends.
-        "fec_calibration": get_fec_calibration(
-            force_measure=True).as_dict(),
+        "fec_calibration": fec_cal,
         "device": str(jax.devices()[0].platform),
     }))
 
