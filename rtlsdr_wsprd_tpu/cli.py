@@ -297,6 +297,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Session: {st.windows} windows, {st.spots} spots, "
               f"{st.errors} errors, decode {st.decode_seconds:.1f} s, "
               f"uptime {up:.0f} s")
+        if reporter.dropped:
+            print(f"WARNING: {reporter.dropped} report(s) dropped "
+                  "(wsprnet unreachable past the retry horizon)",
+                  file=sys.stderr)
     return 0
 
 
