@@ -348,6 +348,42 @@ def test_reporter_noreport_is_silent():
 
 # ---- daemon loop ------------------------------------------------------------
 
+def test_cli_main_synth_loop_and_drop_warning(monkeypatch, capsys):
+    """``cli.main`` end to end on the synth source: one decoded window,
+    exit 0, spot + session lines on stdout — and when the reporter ends
+    the session with undelivered spots, the drop count is announced on
+    STDERR only (stdout is the reference's spot-line contract,
+    rtlsdr_wsprd.c:389-411)."""
+    import rtlsdr_wsprd_tpu.cli as cli_mod
+
+    made = []
+
+    class DroppyReporter:
+        def __init__(self, rcall, rloc, dialfreq, noreport=False,
+                     background=True):
+            self.posted = []
+            self.dropped = 0
+            made.append(self)
+
+        def post(self, spots, gtm):
+            self.posted.append(list(spots))
+
+        def close(self):
+            # simulate retry-horizon exhaustion during the final drain
+            self.dropped = 2
+
+    monkeypatch.setattr(cli_mod, "WsprnetReporter", DroppyReporter)
+    rc = cli_mod.main(["-f", "20m", "-c", "A1XYZ", "-l", "AB12cd",
+                       "--source", "synth", "-n", "1", "--no-align"])
+    assert rc == 0
+    assert len(made) == 1 and len(made[0].posted) == 1
+    cap = capsys.readouterr()
+    assert "Spot : " in cap.out
+    assert "Session: 1 windows" in cap.out
+    assert "2 report(s) dropped" in cap.err
+    assert "dropped" not in cap.out
+
+
 def test_daemon_decodes_synthetic_stream(tmp_path, capsys):
     posted = []
     rep = WsprnetReporter("A1XYZ", "AB12cd", 14_095_600,
