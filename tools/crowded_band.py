@@ -16,8 +16,11 @@ our pass loop implements it (multichannel.py pass loop), and the TPU's
 ~400x headroom makes a third pass nearly free. Each configured pass
 count decodes the SAME windows, so the deltas are paired.
 
-Usage: python tools/crowded_band.py [n_windows] [max_signals] [npasses,npasses,...]
-Prints a summary table and one JSON line per pass-count config.
+Usage: python tools/crowded_band.py [n_windows] [max_signals] [cfg,cfg,...]
+where each cfg is ``NPASSES`` or ``NPASSES@MAXCYCLES`` (the Fano
+budget axis — e.g. ``2,2@100000`` pairs the production 10k budget
+against a 10x budget on the SAME windows). Prints a summary table and
+one JSON line per config.
 """
 
 from __future__ import annotations
@@ -59,8 +62,13 @@ def random_message(rng: np.random.Generator, ht: WsprHashTable) -> str:
 def main() -> None:
     n_windows = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     max_sig = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    npasses_list = ([int(x) for x in sys.argv[3].split(",")]
-                    if len(sys.argv) > 3 else [2, 3])
+    # config tokens: "NP" or "NP@MAXCYCLES" (e.g. "2,2@100000" pairs the
+    # production budget against a 10x Fano budget on the SAME windows —
+    # the budget axis the round-5 gate/pass sweeps never exercised)
+    configs = ([(int(t.partition("@")[0]),
+                 int(t.partition("@")[2]) if "@" in t else 10000)
+                for t in sys.argv[3].split(",")]
+               if len(sys.argv) > 3 else [(2, 10000), (3, 10000)])
 
     import oracle
     have_oracle = oracle.available()
@@ -93,12 +101,13 @@ def main() -> None:
         wi[b], wq[b] = normalize_minus3db(i, q)
         truth.append(set(msgs))
 
-    ours_by_np: dict[int, list[set[str]]] = {}
-    for np_ in npasses_list:
-        options = DecoderOptions(npasses=np_)
+    ours_by_cfg: dict[tuple[int, int], list[set[str]]] = {}
+    for np_, mc in configs:
+        options = DecoderOptions(npasses=np_, maxcycles=mc)
         spots = decode_channels(wi, wq, options, device_batch=32)
-        ours_by_np[np_] = [set(s.message for s in ch) for ch in spots]
-    ours = ours_by_np[npasses_list[0]]
+        ours_by_cfg[(np_, mc)] = [set(s.message for s in ch)
+                                  for ch in spots]
+    ours = ours_by_cfg[configs[0]]
 
     refs: list[set[str]] = []
     if have_oracle:
@@ -126,13 +135,14 @@ def main() -> None:
         print(f"ref : tp={r_tp} fp={r_fp} fn={r_fn} "
               f"precision={r_p:.3f} recall={r_r:.3f}")
         ref_stats = (r_p, r_r)
-    for np_ in npasses_list:
-        ours = ours_by_np[np_]
+    for np_, mc in configs:
+        ours = ours_by_cfg[(np_, mc)]
         o_tp, o_fp, o_fn, o_p, o_r = prf(ours)
-        print(f"ours(npasses={np_}): tp={o_tp} fp={o_fp} fn={o_fn} "
+        print(f"ours(npasses={np_}, maxcycles={mc}): tp={o_tp} "
+              f"fp={o_fp} fn={o_fn} "
               f"precision={o_p:.3f} recall={o_r:.3f}")
         out = {"windows": B, "true_messages": total_true,
-               "npasses": np_,
+               "npasses": np_, "maxcycles": mc,
                "ours_precision": round(o_p, 4),
                "ours_recall": round(o_r, 4)}
         if have_oracle:
