@@ -35,4 +35,7 @@ timeout 3600 python tools/hash_census.py 24 2>&1 | tee "$OUT/hash_census.log"
 echo "== crowded band: npasses 2 vs 3 A/B vs the oracle =="
 timeout 10800 python tools/crowded_band.py 100 12 2,3 2>&1 | tee "$OUT/crowded_band.log"
 
+echo "== crowded band: Fano budget sweep (10k vs 3x vs 10x, paired) =="
+timeout 10800 python tools/crowded_band.py 40 12 2,2@30000,2@100000 2>&1 | tee "$OUT/crowded_budget.log"
+
 echo "== done; logs in $OUT =="
